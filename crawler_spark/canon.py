@@ -1,0 +1,90 @@
+"""URL canonicalization + link absolutization.
+
+Reference semantics being re-expressed (behavior only, no code reuse):
+
+* links are absolutized with ``urljoin(current_url, href)`` and hrefs
+  starting ``#`` / ``javascript:`` are dropped
+  (reference: src/crawler/high_performance_extractor.py:357-363);
+* the URL validator rejects non-http(s) schemes, cross-domain URLs, any
+  URL containing ``#``, and ``javascript:void(0)``
+  (reference: src/utils/url_validator.py:5-13).
+
+The engine's canonical form (the key the seen-set hashes) additionally
+lowercases scheme+host and strips default ports and fragments, so that
+trivially-aliased URLs dedup. Canonicalization is a vectorized pandas UDF
+(urljoin needs real URL parsing; per-row Python is banned, per-batch
+pandas ``.map`` over Arrow batches is the sanctioned path).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from crawler_spark.hashing import xxhash64_str
+
+
+def canonicalize(url: str) -> str:
+    """Canonical form of an absolute URL (pure function, used per batch)."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    scheme = parts.scheme.lower()
+    host = parts.hostname or ""
+    port = parts.port
+    netloc = host.lower()
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        netloc = f"{netloc}:{port}"
+    path = parts.path or "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def absolutize(parent: str, href: str) -> str | None:
+    """Reference join semantics: skip fragment/js hrefs, urljoin the rest."""
+    if not href or href.startswith("#") or href.startswith("javascript:"):
+        return None
+    return urljoin(parent, href)
+
+
+def url_host(url: str) -> str:
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def url_seen_key(url: str) -> int:
+    """Driver/oracle-side seen-set key: xxhash64(canonical url), signed."""
+    return xxhash64_str(canonicalize(url))
+
+
+# --- Spark-side columns -------------------------------------------------
+
+@F.pandas_udf(StringType())
+def canonicalize_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: canonicalize(u) if u is not None else None)
+
+
+@F.pandas_udf(StringType())
+def absolutize_udf(parents: pd.Series, hrefs: pd.Series) -> pd.Series:
+    return pd.Series(
+        [absolutize(p, h) if p is not None else None for p, h in zip(parents, hrefs)]
+    )
+
+
+def with_canonical(df, url_col: str = "url"):
+    """Add ``canonical_url``, ``url_hash`` (xxhash64, the seen key) and
+    ``host`` columns. ``host``/hash are pure JVM column expressions so the
+    scan → hash path stays inside whole-stage codegen; only the
+    canonical-form rewrite itself is a pandas UDF."""
+    return (
+        df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+        .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
+        .withColumn("host", F.lower(F.parse_url(F.col("canonical_url"), F.lit("HOST"))))
+    )

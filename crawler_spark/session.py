@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+The defaults are chosen for the 100 TB design point and merely *scaled
+down* for local testing:
+
+* AQE on (runtime re-plan, skew-join splitting, partition coalescing) —
+  mega-domain skew on the ``host`` groupBy is first-class in a crawl
+  workload (SURVEY §4 "per-host connection caps").
+* Arrow execution on — every Python-side computation in this engine is a
+  vectorized pandas UDF / ``mapInPandas`` / ``applyInPandas``.
+* UTC session timezone — crawl timestamps are data, not wall clock.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition count: on a real cluster this is sized to
+# ~2-3x total executor cores (and AQE coalesces down); locally we match
+# the core count so tests don't drown in empty partitions.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def build_session(
+    app_name: str = "crawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults applied."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Broadcast threshold: dimension tables (seeds, robots, kb) are
+        # tiny relative to the frontier; let Spark broadcast them.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "2g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
