@@ -1,38 +1,575 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the crawler_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-checkable operator family of the engine
+(SURVEY §2 inventory) as a (spark, sf_dir) → DataFrame callable over the
+driver's testdata tables; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL. Non-SQL-expressible operators (MinHash/LSH, SimHash, ANN-LSH,
+rolling-hash fingerprints, multimodal feature plumbing) have queries()
+entries without oracle SQL → the driver records a rows-only check; their
+strong correctness tests live in tests/ (planted-duplicate corpora,
+numpy cross-checks).
+
+Cross-dialect determinism rules used throughout (and mirrored in SQL):
+floats rounded at fixed decimals, arrays cast to double before numeric
+folds, explicit BIGINT/DOUBLE casts on aggregates (DuckDB sum(int) is
+HUGEINT), deterministic ORDER BY tie-breaks on id columns for every
+LIMIT query.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# individual queries (each maps to SURVEY §2 operators; aliases match SQL)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A1-style aggregation baseline (partial/final agg, JVM-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_frontier_window_rank(spark, sf_dir):
+    """W1: priority-queue emission as a Window rank (top-3 per host)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rn")
+    )
+
+
+def q_politeness_quota(spark, sf_dir):
+    """W3: per-host-per-window fetch budget = least(count, quota)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.least(F.col("n_events"), F.lit(5)).cast("long").alias("allowed"),
+        )
+    )
+
+
+def q_kb_aggregate(spark, sf_dir):
+    """A1/L3: KB pattern aggregate — sum/count/round(avg,3)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("total_score"),
+        F.count("*").alias("count"),
+        F.round(F.avg("value"), 3).alias("avg_score"),
+    )
+
+
+def q_link_filter(spark, sf_dir):
+    """F1+F3: URL validity / exclusion regexes over synthesized URLs."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("login"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("member/area"))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("files/r"), F.col("doc_id"), F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("page/"), F.col("doc_id"))),
+    )
+    df = d.select("doc_id", url.alias("url"))
+    keep = (
+        ~F.col("url").rlike("/login|/member|/join|/policy|/recruit|/sitemap|/auth|/cart|/order")
+        & ~F.col("url").rlike(r"\.(pdf|hwp|zip|rar|exe|dmg|jpg|png|gif|mp4|mp3|doc|docx|xls|xlsx|ppt|pptx)$")
+    )
+    return df.filter(keep).select("doc_id", "url")
+
+
+def q_ledger_changed(spark, sf_dir):
+    """F8: content-hash change detection (sha2 join-compare)."""
+    d = _t(spark, sf_dir, "documents")
+    old_hash = F.when(
+        F.col("doc_id") % 2 == 0, F.sha2(F.col("text"), 256)
+    ).otherwise(F.sha2(F.lit("stale"), 256))
+    return (
+        d.select("doc_id", old_hash.alias("old_hash"), F.sha2(F.col("text"), 256).alias("new_hash"))
+        .filter(F.col("old_hash") != F.col("new_hash"))
+        .select("doc_id", "new_hash")
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """F7/Q3: seen-set membership as a left anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy representative selection."""
+    from crawler_spark.operators.dedup import exact_dedup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(d).select(
+        "content_hash", "representative", "n_dups"
+    )
+
+
+def q_packet_truncate(spark, sf_dir):
+    """E16: packet text truncation to 500 chars + ellipsis."""
+    from crawler_spark.functions.urlfns import truncate_packet_text
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(truncate_packet_text(F.col("text"))).alias("trunc_len"),
+        F.substring(F.col("text"), 1, 40).alias("head40"),
+    )
+
+
+def q_site_identifier(spark, sf_dir):
+    """E10: site-identifier derivation from hostnames."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit(".co.kr"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".portal.example.org")))
+    parts = F.split(host, "\\.")
+    ident = F.when(
+        (F.size(parts) > 2) & ~F.element_at(parts, 2).isin("co", "go", "or"),
+        F.concat(F.element_at(parts, 2), F.lit("_"), F.element_at(parts, 1)),
+    ).otherwise(F.element_at(parts, 1))
+    return d.select("doc_id", F.regexp_replace(ident, "-", "_").alias("site_id"))
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: token counts + char counts (JVM columnar)."""
+    from crawler_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_lang_quality(spark, sf_dir):
+    """Language-ID heuristic + bucketed quality score (E13 columnar)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    hangul = F.length(F.regexp_replace(t, "[^가-힣]", ""))
+    latin = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    total = hangul + latin
+    lang = (
+        F.when(total == 0, F.lit("unknown"))
+        .when(hangul / total >= 0.3, F.lit("ko"))
+        .otherwise(F.lit("en"))
+    )
+    n_chars = F.length(t)
+    quality = (
+        F.when(n_chars > 1000, F.lit(0.4))
+        .when(n_chars > 500, F.lit(0.3))
+        .when(n_chars > 100, F.lit(0.2))
+        .otherwise(F.lit(0.0))
+    )
+    return d.select("doc_id", lang.alias("lang_pred"), quality.alias("quality"))
+
+
+def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (double math)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = row["embedding"]
+    from crawler_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(e, query, k=10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs (cosine ≥ 0.2 among vec_id < 200,
+    exact cross-join baseline — the LSH variant is the scale path)."""
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("v", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .filter(F.col("cosine") >= 0.2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-analog windowed aggregation (tumbling hour)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """JSON scalar extraction from the props column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    ).filter(F.col("k_val") > 50)
+
+
+def q_broadcast_join_enrich(spark, sf_dir):
+    """Seed-config broadcast-join enrichment (D1 seeds ⋈ pages analog)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_salted_topk_skew(spark, sf_dir):
+    """Salted two-phase aggregation (skew-breaker shape): partial agg on
+    (key, salt) then final merge — same result as a direct groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("event_type", "_salt")
+        .agg(F.sum("value").alias("_s"), F.count("*").alias("_n"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("_s"), 2).alias("total_value"),
+        F.sum("_n").alias("n"),
+    )
+
+
+# --- rows-only entries (no SQL equivalent; verified in tests/) -------------
+
+def q_minhash_pairs(spark, sf_dir):
+    from crawler_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, threshold=0.5, k=64, bands=16)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from crawler_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from crawler_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    return ann_topk_lsh(e, list(row["embedding"]), k=10, n_bits=8)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from crawler_spark.operators.textstats import fingerprint_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fingerprint"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from crawler_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=48)
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "asset_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 4).alias("f0")
+    )
+
+
+def q_gate_cascade(spark, sf_dir):
+    """The phase-2 gate cascade (F10→L1→L2→F12) over the documents table."""
+    from crawler_spark.functions.scoring import (
+        analyze_udf,
+        gatekeeper_udf,
+        low_quality_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "instruction", F.lit("data query batch window partition")
+    )
+    s1 = d.withColumn("low_q", low_quality_udf("text")).filter(~F.col("low_q"))
+    s2 = s1.withColumn("rel", gatekeeper_udf("text", "instruction")).filter("rel")
+    s3 = s2.withColumn("a", analyze_udf("text", "instruction"))
+    return s3.select(
+        "doc_id",
+        F.col("a.relevance_score").alias("relevance_score"),
+        F.col("a.language").alias("language"),
+    ).filter(F.col("relevance_score") >= 0.2)
+
+
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier-analytics composite — window rank (priority
+    queue) + broadcast dim join + budget agg on sf0.001."""
+    sf = SF_DEFAULT
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count("*").alias("selected"),
+            F.round(F.sum("value"), 2).alias("budget_value"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "frontier_window_rank": q_frontier_window_rank,
+        "politeness_quota": q_politeness_quota,
+        "kb_aggregate": q_kb_aggregate,
+        "link_filter": q_link_filter,
+        "ledger_changed": q_ledger_changed,
+        "seen_antijoin": q_seen_antijoin,
+        "dedup_exact": q_dedup_exact,
+        "packet_truncate": q_packet_truncate,
+        "site_identifier": q_site_identifier,
+        "token_stats": q_token_stats,
+        "lang_quality": q_lang_quality,
+        "similarity_topk": q_similarity_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "json_props": q_json_props,
+        "broadcast_join_enrich": q_broadcast_join_enrich,
+        "salted_topk_skew": q_salted_topk_skew,
+        # rows-only (non-SQL-expressible; strong checks in tests/)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "gate_cascade": q_gate_cascade,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "frontier_window_rank": """
+            SELECT user_id, event_id, round(value, 2) AS value, rn::INT AS rn
+            FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, ts ASC, event_id ASC) AS rn
+                FROM events
+            ) WHERE rn <= 3
+        """,
+        "politeness_quota": """
+            SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS day,
+                   count(*)::BIGINT AS n_events,
+                   least(count(*), 5)::BIGINT AS allowed
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "kb_aggregate": """
+            SELECT event_type,
+                   round(sum(value), 2) AS total_score,
+                   count(*)::BIGINT AS count,
+                   round(avg(value), 3) AS avg_score
+            FROM events GROUP BY event_type
+        """,
+        "link_filter": """
+            WITH urls AS (
+                SELECT doc_id,
+                       'https://' || source || '.example.org/' ||
+                       CASE WHEN doc_id % 7 = 0 THEN 'login'
+                            WHEN doc_id % 7 = 1 THEN 'member/area'
+                            WHEN doc_id % 7 = 2 THEN 'files/r' || doc_id || '.pdf'
+                            ELSE 'page/' || doc_id END AS url
+                FROM documents
+            )
+            SELECT doc_id, url FROM urls
+            WHERE NOT regexp_matches(url, '/login|/member|/join|/policy|/recruit|/sitemap|/auth|/cart|/order')
+              AND NOT regexp_matches(url, '\\.(pdf|hwp|zip|rar|exe|dmg|jpg|png|gif|mp4|mp3|doc|docx|xls|xlsx|ppt|pptx)$')
+        """,
+        "ledger_changed": """
+            SELECT doc_id, sha256(text) AS new_hash
+            FROM documents
+            WHERE (CASE WHEN doc_id % 2 = 0 THEN sha256(text) ELSE sha256('stale') END)
+                  <> sha256(text)
+        """,
+        "seen_antijoin": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id)::BIGINT AS representative,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY sha256(text)
+        """,
+        "packet_truncate": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 500 THEN 503 ELSE length(text) END::INT AS trunc_len,
+                   substring(text, 1, 40) AS head40
+            FROM documents
+        """,
+        "site_identifier": """
+            WITH hosts AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN source || '.co.kr'
+                            ELSE source || '.portal.example.org' END AS host
+                FROM documents
+            )
+            SELECT doc_id,
+                   replace(
+                     CASE WHEN len(str_split(host, '.')) > 2
+                               AND str_split(host, '.')[2] NOT IN ('co','go','or')
+                          THEN str_split(host, '.')[2] || '_' || str_split(host, '.')[1]
+                          ELSE str_split(host, '.')[1] END,
+                     '-', '_') AS site_id
+            FROM hosts
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "lang_quality": """
+            SELECT doc_id,
+                   CASE WHEN (length(regexp_replace(text, '[^가-힣]', '', 'g'))
+                              + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) = 0
+                        THEN 'unknown'
+                        WHEN length(regexp_replace(text, '[^가-힣]', '', 'g'))::DOUBLE /
+                             (length(regexp_replace(text, '[^가-힣]', '', 'g'))
+                              + length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) >= 0.3
+                        THEN 'ko' ELSE 'en' END AS lang_pred,
+                   CASE WHEN length(text) > 1000 THEN 0.4
+                        WHEN length(text) > 500 THEN 0.3
+                        WHEN length(text) > 100 THEN 0.2
+                        ELSE 0.0 END AS quality
+            FROM documents
+        """,
+        "similarity_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q)) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                      sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))),
+                     4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        4) >= 0.2
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "json_props": """
+            SELECT event_id, json_extract(props, '$.k')::BIGINT AS k_val
+            FROM events
+            WHERE json_extract(props, '$.k')::BIGINT > 50
+        """,
+        "broadcast_join_enrich": """
+            SELECT n_name, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "salted_topk_skew": """
+            SELECT event_type, round(sum(value), 2) AS total_value,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from crawler_spark.session import build_session
+
+    spark = build_session(app_name="entry_smoke", master="local[4]", shuffle_partitions=8)
+    df = entry(spark)
+    df.show(5)
+    print("rows:", df.count())
+    spark.stop()

@@ -229,7 +229,10 @@ def extract_links(root: _Node, current_url: str, base_netloc: str) -> list[dict]
         if not href or href.startswith("#") or href.startswith("javascript:"):
             continue
         absolute = urljoin(current_url, href)
-        if urlparse(absolute).netloc != base_netloc:
+        # base_netloc "*" = open-crawl mode (multi-host frontier); the
+        # reference is always same-domain (extractor filters on the seed's
+        # netloc), which corresponds to a concrete base_netloc here.
+        if base_netloc != "*" and urlparse(absolute).netloc != base_netloc:
             continue
         anchor = text_content(el).strip()
         if anchor:

@@ -1,0 +1,315 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all Spark-first:
+
+* **exact** — hash-groupBy on ``sha2(text, 256)`` (pure JVM, one shuffle;
+  at 100 TB this is the cheapest pass and runs first).
+* **n-gram Jaccard** — exact near-dup pairs via an inverted index on
+  hashed word n-grams: explode → self-join on ngram hash → per-pair
+  intersection counts → Jaccard. Exact but quadratic in colliding docs;
+  at scale it runs *after* MinHash-LSH has cut the candidate space.
+* **MinHash + LSH** — per-doc signatures (k universal-hash permutations
+  over crc-hashed shingles, vectorized numpy inside a pandas UDF),
+  banded into (band_id, band_hash) buckets; only same-bucket pairs are
+  candidates (the classic shingle→minhash→band→bucket-join pipeline).
+* **SimHash** — 64-bit weighted-token fingerprints; near-dup candidates
+  via the pigeonhole banding of 4×16-bit blocks, verified by Hamming
+  distance.
+* **embedding cosine** — see :mod:`crawler_spark.operators.similarity`.
+
+Determinism: shingle/token hashing uses zlib.crc32 mixed to 64 bits —
+stable across Python workers (never the builtin ``hash``, which is
+PYTHONHASHSEED-dependent).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: widen 32-bit crc to well-mixed 64-bit."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct hashed word n-grams of one document (uint64)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    crc = np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+    return np.unique(_mix64(crc))
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by content hash: (content_hash, representative
+    (= min id), n_dups). Pure JVM; map-side partial agg then one shuffle."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per distinct text."""
+    w_min = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("representative").alias(id_col)
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# --- n-gram Jaccard (exact verification path) --------------------------------
+
+def shingles_udf(n: int = 3):
+    @F.pandas_udf(ArrayType(LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: _shingle_hashes(t or "", n).astype(np.int64).tolist()
+        )
+    return fn
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Inverted-index join: docs sharing ≥1 n-gram meet in the shuffle; the
+    per-pair intersection count + per-doc set sizes give exact Jaccard.
+    At 100 TB this runs on MinHash candidates only (see
+    ``minhash_dedup_pairs``), never on the raw corpus.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_udf(n)(F.col(text_col)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    sh = sh.filter(F.col("n_sh") > 0)
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "g"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "g"
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(k: int = 128, n: int = 3, seed: int = 42):
+    a, b = _perm_params(k, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            sh = _shingle_hashes(t or "", n)
+            if len(sh) == 0:
+                out.append(None)
+                continue
+            x = (sh % np.uint64(_MERSENNE)).astype(np.uint64)
+            # (n_shingles, k): (a*x + b) mod p, then column-min
+            vals = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return fn
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash signatures.
+
+    rows-per-band r = k // bands; two docs collide iff some band of their
+    signatures matches exactly — P(candidate) = 1-(1-j^r)^bands, the usual
+    S-curve. Band hash = xxhash64 of the band slice (JVM-side over the
+    signature array)."""
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_udf(k, n, seed)(F.col(text_col)).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), i * r + 1, r).cast("array<string>").cast("string")
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The scale path: LSH candidates → exact-Jaccard verification.
+
+    Joins the candidate pairs back to the shingle sets and verifies, so
+    the output has MinHash recall but exact precision."""
+    cands = lsh_candidate_pairs(df, k, bands, n, text_col, id_col)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_udf(n)(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+def simhash_udf():
+    @F.pandas_udf(LongType())
+    def fn(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if not t:
+                out.append(0)
+                continue
+            words = t.split()
+            crc = np.fromiter(
+                (zlib.crc32(w.encode("utf-8")) for w in words),
+                dtype=np.uint64,
+                count=len(words),
+            )
+            h = _mix64(crc)  # (n_words,) uint64
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+                np.int64
+            )
+            v = (2 * bits - 1).sum(axis=0)  # weighted vote per bit
+            sim = np.uint64(0)
+            for i in range(64):
+                if v[i] > 0:
+                    sim |= np.uint64(1) << np.uint64(i)
+            out.append(int(sim.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return fn
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: with 4 16-bit blocks, any pair within distance 3
+    agrees on ≥1 block → block-equality join finds all of them; popcount
+    verification is JVM-side (bit_count)."""
+    s = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sim"))
+    blocks = s.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("sim"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sim", "e.blk", "e.bv")
+    l = blocks.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "blk", "bv")
+    rgt = blocks.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "blk", "bv")
+    return (
+        l.join(rgt, ["blk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,165 @@
+"""Frontier wave-batch selection: the engine's priority queue.
+
+The reference's frontier is an in-memory FIFO deque popped ``batch_size``
+at a time with KB gates applied during the pop
+(src/agent/fast_crawler_agent.py:131-147). Here the frontier is a table
+and the pop is a Window rank:
+
+* **fifo mode** (reference-parity): rank by insertion ``seq`` per site —
+  exactly the deque order;
+* **priority mode** (north rule): rank over ``(host, depth, score)`` —
+  ``row_number().over(Window.partitionBy(site_id, host).orderBy(desc(score),
+  depth, seq))`` capped by the per-host politeness quota, then a global
+  per-site budget rank.
+
+Scale notes: both windows partition by (site_id, host) or site_id — never
+a single global ordering over 10^10 rows. The only global-ish sort is the
+per-site budget rank, and it runs on the already-quota-capped candidate
+set (≤ sum of host quotas ≪ frontier size). Skewed mega-hosts are handled
+by AQE + the fact that per-host ranking caps each host's contribution at
+its quota.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.urlfns import kb_pattern
+
+FIFO = "fifo"
+PRIORITY = "priority"
+
+
+def apply_kb_gates(pending: DataFrame, kb: DataFrame) -> DataFrame:
+    """Annotate pending frontier rows with the KB ignore/problematic gates.
+
+    Reference semantics (knowledge_base.py:61-66 + fast_crawler_agent.py
+    :137-145): a URL is dropped when its path pattern has
+    ``count >= 3 and avg_score < 0.4`` (learned-low-quality) or
+    ``failure_count >= 3`` (problematic). KB is tiny → broadcast join.
+    """
+    kb_small = F.broadcast(
+        kb.select(
+            "site_id",
+            F.col("pattern").alias("_kb_pattern"),
+            "count",
+            "avg_score",
+            "failure_count",
+        )
+    )
+    out = (
+        pending.withColumn("_pattern", kb_pattern(F.col("canonical_url")))
+        .join(
+            kb_small,
+            on=[
+                pending["site_id"] == kb_small["site_id"],
+                F.col("_pattern") == F.col("_kb_pattern"),
+            ],
+            how="left",
+        )
+        .drop(kb_small["site_id"])
+        .withColumn(
+            "kb_gated",
+            F.coalesce(
+                ((F.col("count") >= 3) & (F.col("avg_score") < 0.4))
+                | (F.col("failure_count") >= 3),
+                F.lit(False),
+            ),
+        )
+        .drop("count", "avg_score", "failure_count", "_kb_pattern", "_pattern")
+    )
+    return out
+
+
+def select_wave_batch_fifo(
+    candidates: DataFrame, batch_sizes: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Reference-parity batch pop.
+
+    ``candidates``: pending rows annotated with ``kb_gated``.
+    ``batch_sizes``: (site_id, batch_size) — the per-site pop budget.
+
+    Returns ``(batch, consumed_gated)``:
+    * batch = first ``batch_size`` non-gated rows per site in seq order;
+    * consumed_gated = gated rows that the reference would have popped and
+      dropped while collecting that batch (seq < last batch member's seq;
+      all gated rows when the queue ran dry before filling the batch).
+    """
+    w = Window.partitionBy("site_id").orderBy("seq")
+    c = candidates.join(F.broadcast(batch_sizes), "site_id", "left")
+
+    nongated = c.filter(~F.col("kb_gated")).withColumn("rn", F.row_number().over(w))
+    batch = nongated.filter(F.col("rn") <= F.col("batch_size"))
+
+    # per-site cutoff: seq of the last popped row; +inf when the queue was
+    # drained before the batch filled (reference pops until empty)
+    cutoffs = batch.groupBy("site_id").agg(
+        F.max("seq").alias("_cut_seq"), F.count("*").alias("_batch_n")
+    )
+    c2 = c.join(F.broadcast(cutoffs), "site_id", "left")
+    consumed_gated = c2.filter(
+        F.col("kb_gated")
+        & (
+            F.col("_cut_seq").isNull()  # whole queue gated → all popped
+            | (F.col("seq") < F.col("_cut_seq"))
+            | (F.col("_batch_n") < F.col("batch_size"))  # queue drained
+        )
+    ).drop("_cut_seq", "_batch_n", "batch_size", "rn")
+
+    return batch.drop("rn", "batch_size"), consumed_gated
+
+
+def select_wave_batch_priority(
+    candidates: DataFrame,
+    host_quota: DataFrame,
+    batch_sizes: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """North-rule batch selection: per-host quota rank then per-site budget.
+
+    ``host_quota``: (site_id, host, quota) from the politeness scheduler.
+    Gated rows are all consumed this wave (simpler-than-reference
+    semantics, documented; the oracle mirrors it).
+    """
+    consumed_gated = candidates.filter(F.col("kb_gated"))
+    live = candidates.filter(~F.col("kb_gated"))
+
+    host_w = Window.partitionBy("site_id", "host").orderBy(
+        F.desc("score"), F.asc("depth"), F.asc("seq")
+    )
+    ranked = live.join(F.broadcast(host_quota), ["site_id", "host"], "left").withColumn(
+        "host_rn", F.row_number().over(host_w)
+    )
+    within_quota = ranked.filter(
+        F.col("host_rn") <= F.coalesce(F.col("quota"), F.lit(1))
+    )
+
+    site_w = Window.partitionBy("site_id").orderBy(
+        F.desc("score"), F.asc("depth"), F.asc("seq")
+    )
+    batch = (
+        within_quota.join(F.broadcast(batch_sizes), "site_id", "left")
+        .withColumn("site_rn", F.row_number().over(site_w))
+        .filter(F.col("site_rn") <= F.col("batch_size"))
+        .drop("host_rn", "site_rn", "quota", "batch_size")
+    )
+    return batch, consumed_gated
+
+
+def assign_seq(new_links: DataFrame, max_seq: DataFrame) -> DataFrame:
+    """Deterministic insertion order for newly discovered frontier rows.
+
+    seq = per-site rank over (parent_seq, link_idx) + the site's current
+    max seq — the data-derived equivalent of the reference's sequential
+    ``queue.append`` order (never ``monotonically_increasing_id``, which
+    is task-timing dependent).
+    """
+    w = Window.partitionBy("site_id").orderBy("parent_seq", "link_idx")
+    return (
+        new_links.join(F.broadcast(max_seq), "site_id", "left")
+        .withColumn(
+            "seq",
+            F.row_number().over(w) + F.coalesce(F.col("_max_seq"), F.lit(0)),
+        )
+        .drop("_max_seq")
+    )

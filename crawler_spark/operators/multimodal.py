@@ -1,0 +1,149 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through ``mapInPandas`` stages.
+
+The Spark-side contract is real and tested — schemas, partition-preserving
+batch shapes, Arrow binary transfer, deterministic outputs — while the
+actual codec work is stubbed: the sandbox ships no image/audio libraries,
+so ``decode`` raises ``NotImplementedError`` unless ``fake=True``, in
+which case a deterministic hash-derived feature vector stands in for the
+decoder output. Swapping the stub for Pillow/torchaudio/ffmpeg later
+changes only the inner function, not the Spark plumbing.
+
+Design notes for 100 TB of media:
+* blobs stay in the ``payload`` binary column end-to-end (no driver
+  collect); ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds the
+  per-batch memory (payloads ~MBs → set it low, e.g. 64);
+* decode/feature stages are ``mapInPandas`` so one task streams batches
+  (constant memory), not one giant pandas DataFrame;
+* frame sampling emits multiple rows per input row (iterator → explode
+  shape), which mapInPandas expresses naturally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURES = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FRAMES = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: sha256-seeded floats."""
+    digest = hashlib.sha256(payload or b"").digest()
+    seed = int.from_bytes(digest[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """payload → feature vector, one row per asset (mapInPandas)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires Pillow/torchaudio/ffmpeg; "
+                    "run with fake=True in this environment"
+                )
+            feats = [
+                _fake_decode_features(p).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
+                }
+            )
+
+    return df.mapInPandas(gen, FEATURES)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """video → one row per sampled frame (fan-out mapInPandas stage).
+
+    The fake decoder slices the payload deterministically per frame; a
+    real one would seek/decode at ``frame_idx * every_ms``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame decode not available here")
+            rows = {"asset_id": [], "frame_idx": [], "frame_payload": []}
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or not r["duration_ms"]:
+                    continue
+                n_frames = max(1, int(r["duration_ms"]) // every_ms)
+                payload = r["payload"] or b""
+                step = max(1, len(payload) // max(1, n_frames))
+                for i in range(n_frames):
+                    rows["asset_id"].append(r["asset_id"])
+                    rows["frame_idx"].append(i)
+                    rows["frame_payload"].append(payload[i * step : (i + 1) * step])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, FRAMES)
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + (i % 7) * 128)
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                640 if kind == "image" else None,
+                480 if kind == "image" else None,
+                (i % 5 + 1) * 2000 if kind == "video" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA)

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+* **Brute-force cosine top-k** — the correctness baseline: dot product
+  via ``F.zip_with`` + ``F.aggregate`` (pure JVM, no Python), norm
+  precomputed per row, global top-k via orderBy+limit. At scale Spark
+  turns the limit into a TakeOrdered (per-partition top-k then merge),
+  so no full sort materializes.
+* **LSH-bucketed ANN (random hyperplanes)** — the scale path: s signed
+  projections onto fixed seeded hyperplanes pack into an s-bit signature
+  (numpy matmul in a pandas UDF); queries probe only their own bucket
+  (optionally multi-probe neighbors at Hamming distance 1). An IVF-style
+  variant can reuse the same plumbing with k-means centroids; the
+  hyperplane version is fully deterministic and dependency-free.
+* **embedding near-dup pairs** — cosine ≥ threshold self-join within LSH
+  buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def _cos_cols(vec_col, query):
+    """Column expressions for dot(vec, query) and |vec| (JVM-side)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return dot, norm
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query`` (brute force)."""
+    qn = float(np.linalg.norm(query))
+    dot, norm = _cos_cols(F.col(vec_col), query)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(dot / (norm * F.lit(qn)), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature_udf(dim: int, n_bits: int = 16, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+
+    @F.pandas_udf(IntegerType())
+    def fn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes) > 0  # (batch, n_bits)
+        sig = np.zeros(len(vecs), dtype=np.int64)
+        for b in range(n_bits):
+            sig |= bits[:, b].astype(np.int64) << b
+        return pd.Series(sig.astype(np.int32))
+
+    return fn
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_bits: int = 12,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket (and its
+    Hamming-1 neighbors with ``multiprobe``), exact cosine inside."""
+    dim = len(query)
+    sig_udf = hyperplane_signature_udf(dim, n_bits, seed)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+    qbits = (np.asarray(query, dtype=np.float32) @ planes) > 0
+    qsig = 0
+    for b in range(n_bits):
+        qsig |= int(qbits[b]) << b
+    probes = [qsig]
+    if multiprobe:
+        probes += [qsig ^ (1 << b) for b in range(n_bits)]
+
+    bucketed = df.withColumn("_sig", sig_udf(F.col(vec_col)))
+    cand = bucketed.filter(F.col("_sig").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, candidate-limited to shared LSH
+    buckets (high-cosine pairs almost surely share all hyperplane signs;
+    the self-join never goes quadratic in the corpus)."""
+    first = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(first["v"])
+    sig_udf = hyperplane_signature_udf(dim, n_bits, seed)
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sig_udf(F.col(vec_col)).alias("sig"),
+    )
+    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
+    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig")
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

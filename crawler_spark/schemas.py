@@ -67,16 +67,27 @@ FRONTIER = StructType(
         StructField("discovered_wave", IntegerType()),
         StructField("parent_seq", LongType()),
         StructField("link_idx", IntegerType()),
-        StructField("state", StringType()),  # pending | fetched | failed
+        StructField("state", StringType()),  # pending | fetched | failed | ...
+        StructField("seq", LongType()),      # deterministic insertion order
+        StructField("processed_wave", IntegerType()),  # wave that consumed it
     ]
 )
 
 # Exact URL-seen set (replaces in-memory set, fast_crawler_agent.py:54).
 SEEN = StructType(
     [
+        StructField("site_id", StringType()),
         StructField("url_hash", LongType()),
         StructField("canonical_url", StringType()),
         StructField("discovered_wave", IntegerType()),
+    ]
+)
+
+# Per-site crawl progress (drives the max_pages stop condition, Q4).
+SITE_STATS = StructType(
+    [
+        StructField("site_id", StringType()),
+        StructField("scanned", LongType()),
     ]
 )
 

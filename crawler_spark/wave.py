@@ -1,0 +1,591 @@
+"""The wave-synchronous crawl driver loop.
+
+One wave = one Spark job DAG + one atomic commit set (SURVEY §7 design):
+
+  select batch (KB gates + [robots + quota] + Window rank)
+  → fetch (simulated: join against the pages table; production: the same
+    stage is a mapInPandas HTTP fetcher over the batch)
+  → extract (Arrow UDF, byte-parity surface)
+  → ledger change-check → crawled delta
+  → link expansion → canonicalize → in-wave dedup → anti-join seen
+  → frontier/seen/site_stats update
+  → [cascade: gates → packets/rejected, KB + ledger MERGE]
+  → metrics (per-partition lineage) → atomic commit
+
+Resume-from-checkpoint: every wave's outputs are committed through
+:class:`crawler_spark.tableio.TableCatalog`; a killed run restarts at
+``committed_wave + 1`` and produces bit-identical state (test-verified).
+The per-wave materialization doubles as lineage truncation, so the
+iterative loop's plans stay flat.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+_PROFILE = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+
+
+class _T:
+    """Env-gated section timer for wave profiling."""
+
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *a):
+        if _PROFILE:
+            print(f"    [{self.label}] {time.time() - self.t0:.2f}s", flush=True)
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas
+from crawler_spark.canon import canonicalize_udf
+from crawler_spark.functions.html_extract import extract_udf
+from crawler_spark.functions.urlfns import content_hash, is_valid_url
+from crawler_spark.operators.cascade import merge_ledger, run_cascade
+from crawler_spark.operators.frontier import (
+    FIFO,
+    PRIORITY,
+    apply_kb_gates,
+    assign_seq,
+    select_wave_batch_fifo,
+    select_wave_batch_priority,
+)
+from crawler_spark.operators.kb import merge_kb, wave_kb_delta
+from crawler_spark.operators.politeness import host_quotas, robots_filter
+from crawler_spark.operators.bloom import (
+    FILTERS_SCHEMA,
+    bloom_anti_join_seen,
+    update_filters,
+)
+from crawler_spark.operators.seen import anti_join_seen, dedup_in_wave
+from crawler_spark.tableio import APPEND, REPLACE, TableCatalog
+
+FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+@dataclass
+class CrawlConfig:
+    mode: str = FIFO                  # fifo (reference parity) | priority
+    batch_size: int | None = None     # None → reference min(20, max_pages//5)
+    link_cap: int = 50                # Q6 (fast_crawler_agent.py:242)
+    wave_seconds: float = 20.0        # politeness budget window (priority mode)
+    cascade: bool = False             # run the phase-2 filter cascade per wave
+    relevance_threshold: float = 0.6
+    n_buckets: int = 32               # url_hash buckets for the seen anti-join
+    metrics: bool = True
+    # True = reference semantics (crawl stays on the seed's netloc);
+    # False = open Common-Crawl-style multi-host frontier (north rule).
+    same_domain_only: bool = True
+    # Bloom-prefiltered seen anti-join (the 10^10-scale fast path). The
+    # exact anti-join remains the correctness oracle either way.
+    use_bloom: bool = False
+    bloom_fpr: float = 0.01
+    bloom_expected_items: int = 1_000_000
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        pages: DataFrame,
+        seeds: DataFrame,
+        robots: DataFrame | None = None,
+        kb_seed: DataFrame | None = None,
+        ledger_seed: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.pages = pages
+        self.seeds_df = seeds
+        self.robots_df = robots if robots is not None else spark.createDataFrame(
+            [], schemas.ROBOTS
+        )
+        self._kb_seed = kb_seed
+        self._ledger_seed = ledger_seed
+
+        cat = TableCatalog(spark, workdir)
+        for name, mode in [
+            ("frontier", REPLACE),
+            ("seen", REPLACE),
+            ("kb", REPLACE),
+            ("ledger", REPLACE),
+            ("site_stats", REPLACE),
+            ("seen_filters", REPLACE),
+            ("crawled", APPEND),
+            ("packets", APPEND),
+            ("rejected", APPEND),
+            ("metrics", APPEND),
+        ]:
+            cat.register(name, mode)
+        self.cat = cat
+
+    # -- bootstrap -------------------------------------------------------
+
+    def bootstrap(self) -> None:
+        """Commit wave 0: seeded frontier/seen, initial kb/ledger/stats."""
+        if self.cat.committed_wave >= 0:
+            return  # resume path: state already committed
+        seeds = self.seeds_df
+        frontier0 = seeds.select(
+            F.col("base_url").alias("url"),
+            canonicalize_udf("base_url").alias("canonical_url"),
+            F.lit(None).cast("long").alias("url_hash"),
+            F.lower(F.parse_url("base_url", F.lit("HOST"))).alias("host"),
+            "site_id",
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("score"),
+            F.lit(0).alias("discovered_wave"),
+            F.lit(0).cast("long").alias("parent_seq"),
+            F.lit(0).alias("link_idx"),
+            F.lit("pending").alias("state"),
+        ).withColumn("url_hash", F.xxhash64("canonical_url")).withColumn(
+            "seq", F.lit(1).cast("long")  # one seed per site → seq 1
+        ).withColumn("processed_wave", F.lit(None).cast("int")).select(*FRONTIER_COLS)
+
+        seen0 = frontier0.select(
+            "site_id", "url_hash", "canonical_url", F.lit(0).alias("discovered_wave")
+        )
+        kb0 = self._kb_seed if self._kb_seed is not None else self.spark.createDataFrame([], schemas.KB)
+        ledger0 = (
+            self._ledger_seed
+            if self._ledger_seed is not None
+            else self.spark.createDataFrame([], schemas.LEDGER)
+        )
+        stats0 = seeds.select("site_id", F.lit(0).cast("long").alias("scanned"))
+
+        self.cat.stage("frontier", frontier0, 0)
+        self.cat.stage("seen", seen0, 0)
+        self.cat.stage("kb", kb0, 0)
+        self.cat.stage("ledger", ledger0, 0)
+        self.cat.stage("site_stats", stats0, 0)
+        self.cat.commit(0)
+
+    def bootstrap_full_frontier(self) -> None:
+        """Bench/steady-state bootstrap: the whole pages table becomes the
+        pending frontier (simulating a mid-crawl wide frontier, which is
+        what the north-rule metric measures — frontier URLs/sec per wave
+        on an already-populated 10^10-row frontier), and every URL is
+        already in the seen set (discovered), so per-wave link expansion
+        exercises the full dedup + anti-join path without growing state."""
+        if self.cat.committed_wave >= 0:
+            return
+        from pyspark.sql import Window
+
+        site = self.seeds_df.select("site_id").first()["site_id"]
+        base = self.pages.select(
+            F.col("url"),
+            F.col("url").alias("canonical_url"),
+            F.xxhash64("url").alias("url_hash"),
+            F.lower(F.parse_url("url", F.lit("HOST"))).alias("host"),
+            F.lit(site).alias("site_id"),
+            (F.length(F.parse_url("url", F.lit("PATH"))) % 8).cast("int").alias("depth"),
+            (F.pmod(F.xxhash64("url"), F.lit(1000)) / 1000.0).alias("score"),
+            F.lit(0).alias("discovered_wave"),
+            F.lit(0).cast("long").alias("parent_seq"),
+            F.lit(0).alias("link_idx"),
+            F.lit("pending").alias("state"),
+        )
+        w = Window.partitionBy("site_id").orderBy("url")
+        frontier0 = base.withColumn("seq", F.row_number().over(w).cast("long")).withColumn(
+            "processed_wave", F.lit(None).cast("int")
+        ).select(*FRONTIER_COLS)
+        seen0 = frontier0.select(
+            "site_id", "url_hash", "canonical_url", F.lit(0).alias("discovered_wave")
+        )
+        self.cat.stage("frontier", frontier0, 0)
+        self.cat.stage("seen", seen0, 0)
+        self.cat.stage("kb", self.spark.createDataFrame([], schemas.KB), 0)
+        self.cat.stage("ledger", self.spark.createDataFrame([], schemas.LEDGER), 0)
+        self.cat.stage(
+            "site_stats",
+            self.seeds_df.select("site_id", F.lit(0).cast("long").alias("scanned")),
+            0,
+        )
+        if self.config.use_bloom:
+            from crawler_spark.operators.bloom import build_filters
+
+            self.cat.stage(
+                "seen_filters",
+                build_filters(
+                    seen0,
+                    self.config.n_buckets,
+                    self.config.bloom_expected_items,
+                    self.config.bloom_fpr,
+                ),
+                0,
+            )
+        self.cat.commit(0)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _seed_dim(self):
+        return F.broadcast(
+            self.seeds_df.select(
+                "site_id",
+                "instruction",
+                "max_pages",
+                "crawl_delay",
+                (
+                    F.lower(F.parse_url("base_url", F.lit("HOST")))
+                    if self.config.same_domain_only
+                    else F.lit("*")
+                ).alias("base_netloc"),
+            )
+        )
+
+    def _batch_sizes(self):
+        if self.config.batch_size is not None:
+            return self.seeds_df.select(
+                "site_id", F.lit(self.config.batch_size).alias("batch_size")
+            )
+        # reference formula: min(20, max_pages // 5), floor 1
+        return self.seeds_df.select(
+            "site_id",
+            F.greatest(
+                F.least(F.lit(20), (F.col("max_pages") / 5).cast("int")), F.lit(1)
+            ).alias("batch_size"),
+        )
+
+    def _metric(self, frames: list, wave: int, stage: str, df: DataFrame):
+        if not self.config.metrics:
+            return
+        m = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("rows")
+        ).select(
+            F.lit(wave).alias("wave"),
+            "partition_id",
+            F.lit(stage).alias("stage"),
+            "rows",
+        )
+        frames.append(m)
+
+    # -- one wave ----------------------------------------------------------
+
+    def run_wave(self) -> dict:
+        """Execute wave ``committed_wave + 1``; returns wave summary."""
+        w = self.cat.committed_wave + 1
+        cfg = self.config
+        cat = self.cat
+
+        frontier = cat.read("frontier")
+        seen = cat.read("seen", schemas.SEEN)
+        kb = cat.read("kb", schemas.KB)
+        ledger = cat.read("ledger", schemas.LEDGER)
+        stats = cat.read("site_stats", schemas.SITE_STATS)
+
+        active = (
+            stats.join(self.seeds_df.select("site_id", "max_pages"), "site_id")
+            .filter(F.col("scanned") < F.col("max_pages"))
+            .select("site_id")
+        )
+        pending = frontier.filter(F.col("state") == "pending").join(
+            F.broadcast(active), "site_id"
+        )
+        with _T("pending.isEmpty"):
+            if pending.isEmpty():
+                return {"wave": w, "done": True, "fetched": 0}
+
+        cand = apply_kb_gates(pending, kb)
+
+        blocked_keys = None
+        if cfg.mode == PRIORITY:
+            cand = robots_filter(cand, self.robots_df)
+            blocked = cand.filter("robots_blocked")
+            blocked_keys = blocked.select("site_id", "url_hash")
+            cand_live = cand.filter(~F.col("robots_blocked")).drop("robots_blocked")
+            hosts = cand_live.select("site_id", "host").distinct()
+            quotas = host_quotas(hosts, self.seeds_df, self.robots_df, cfg.wave_seconds)
+            batch, gated = select_wave_batch_priority(
+                cand_live, quotas, self._batch_sizes()
+            )
+        else:
+            batch, gated = select_wave_batch_fifo(cand, self._batch_sizes())
+
+        batch = batch.drop("kb_gated").persist()
+        with _T("batch.count"):
+            n_batch = batch.count()
+        if n_batch == 0:
+            # everything pending was gated: consume it and commit the wave
+            self._finish_wave_no_batch(w, frontier, gated, blocked_keys)
+            return {"wave": w, "done": False, "fetched": 0, "batch": 0}
+
+        # --- fetch (simulated web: lookup in the pages table) ------------
+        # shuffle-hash join, never broadcast: at 10^10 the web-pages side
+        # is massive, and shuffling both sides on the join key also gives
+        # the extract stage real partition parallelism (a broadcast join
+        # would leave all output rows in the scan's partitioning).
+        page_side = self.pages.select(
+            F.col("url").alias("_page_url"), F.col("html").alias("_html")
+        )
+        fetched = batch.join(
+            page_side.hint("shuffle_hash"),
+            batch["canonical_url"] == page_side["_page_url"],
+            "left",
+        ).drop("_page_url")
+
+        # --- extract -------------------------------------------------------
+        seed_dim = self._seed_dim()
+        fetched = fetched.join(seed_dim, "site_id", "left")
+        ex = fetched.withColumn(
+            "ex",
+            F.when(
+                F.col("_html").isNotNull(),
+                extract_udf("_html", "canonical_url", "base_netloc"),
+            ),
+        ).drop("_html")
+        ex = ex.persist()
+
+        failed = ex.filter(F.col("ex").isNull() | F.col("ex.title").isNull())
+        ok = ex.filter(F.col("ex.title").isNotNull())
+        empty = ok.filter(F.length(F.coalesce(F.col("ex.text"), F.lit(""))) == 0)
+        nonempty = ok.filter(F.length(F.col("ex.text")) > 0)
+
+        # --- ledger change check (F8) ---------------------------------------
+        led = ledger.select("url_hash", F.col("content_hash").alias("_old_hash"))
+        checked = nonempty.withColumn(
+            "content_hash", content_hash(F.col("ex.text"))
+        ).join(led, "url_hash", "left")
+        unchanged = checked.filter(F.col("content_hash") == F.col("_old_hash"))
+        changed = checked.filter(
+            F.col("_old_hash").isNull() | (F.col("content_hash") != F.col("_old_hash"))
+        ).persist()
+
+        crawled_delta = changed.select(
+            F.lit(w).alias("wave"),
+            "url",
+            "canonical_url",
+            "url_hash",
+            "host",
+            "site_id",
+            "depth",
+            F.col("ex.title").alias("title"),
+            F.col("ex.text").alias("text"),
+            F.col("ex.quality_score").alias("quality_score"),
+            "content_hash",
+            F.col("ex.links").alias("links"),
+        )
+
+        # --- link expansion (Q3) --------------------------------------------
+        exploded = changed.select(
+            "site_id",
+            "base_netloc",
+            F.col("seq").alias("parent_seq"),
+            (F.col("depth") + 1).alias("depth"),
+            F.col("ex.quality_score").alias("score"),
+            F.posexplode(F.slice(F.col("ex.links"), 1, cfg.link_cap)).alias(
+                "link_idx", "_link"
+            ),
+        ).select(
+            "site_id",
+            "base_netloc",
+            "parent_seq",
+            "depth",
+            "score",
+            "link_idx",
+            F.col("_link.url").alias("url"),
+        )
+        if cfg.same_domain_only:
+            validity = is_valid_url(F.col("url"), F.col("base_netloc"))
+        else:
+            validity = (
+                F.parse_url(F.col("url"), F.lit("PROTOCOL")).isin("http", "https")
+                & ~F.col("url").contains("#")
+                & ~F.col("url").contains("javascript:void(0)")
+            )
+        valid = exploded.filter(validity).drop("base_netloc")
+        valid = (
+            valid.withColumn("canonical_url", canonicalize_udf("url"))
+            .withColumn("url_hash", F.xxhash64("canonical_url"))
+            .withColumn("host", F.lower(F.parse_url("canonical_url", F.lit("HOST"))))
+        )
+        deduped = dedup_in_wave(valid)
+        if cfg.use_bloom:
+            filters = cat.read("seen_filters", FILTERS_SCHEMA)
+            fresh = bloom_anti_join_seen(deduped, seen, filters, cfg.n_buckets)
+        else:
+            fresh = anti_join_seen(deduped, seen, cfg.n_buckets)
+
+        max_seq = frontier.groupBy("site_id").agg(F.max("seq").alias("_max_seq"))
+        new_rows = assign_seq(fresh, max_seq).select(
+            "url",
+            "canonical_url",
+            "url_hash",
+            "host",
+            "site_id",
+            "depth",
+            "score",
+            F.lit(w).alias("discovered_wave"),
+            "parent_seq",
+            "link_idx",
+            F.lit("pending").alias("state"),
+            "seq",
+            F.lit(None).cast("int").alias("processed_wave"),
+        ).select(*FRONTIER_COLS)
+
+        new_rows = new_rows.persist()
+        with _T("new_rows.count"):
+            new_rows.count()  # materialize once: staged 3x (frontier/seen/bloom)
+
+        # --- frontier / seen / stats updates ---------------------------------
+        outcome = (
+            failed.select(*FRONTIER_COLS).withColumn("state", F.lit("failed"))
+            .unionByName(
+                empty.select(*FRONTIER_COLS).withColumn(
+                    "state", F.lit("fetched_empty")
+                )
+            )
+            .unionByName(
+                unchanged.select(*FRONTIER_COLS).withColumn(
+                    "state", F.lit("unchanged")
+                )
+            )
+            .unionByName(
+                changed.select(*FRONTIER_COLS).withColumn(
+                    "state", F.lit("fetched")
+                )
+            )
+            .unionByName(
+                gated.select(*FRONTIER_COLS).withColumn(
+                    "state", F.lit("gated_kb")
+                )
+            )
+        ).withColumn("processed_wave", F.lit(w))
+        if blocked_keys is not None:
+            blocked_rows = frontier.join(blocked_keys, ["site_id", "url_hash"])
+            outcome = outcome.unionByName(
+                blocked_rows.select(*FRONTIER_COLS)
+                .withColumn("state", F.lit("robots_blocked"))
+                .withColumn("processed_wave", F.lit(w))
+            )
+        touched = outcome.select("site_id", "url_hash")
+        frontier_next = (
+            frontier.join(touched, ["site_id", "url_hash"], "left_anti")
+            .unionByName(outcome.select(*FRONTIER_COLS))
+            .unionByName(new_rows)
+        )
+
+        seen_next = seen.unionByName(
+            new_rows.select(
+                "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
+            )
+        )
+
+        scanned_delta = nonempty.groupBy("site_id").agg(
+            F.count("*").alias("_d")
+        )
+        stats_next = (
+            stats.join(scanned_delta, "site_id", "left")
+            .select(
+                "site_id",
+                (F.col("scanned") + F.coalesce("_d", F.lit(0))).alias("scanned"),
+            )
+        )
+
+        # --- cascade (phase-2 worker) -----------------------------------------
+        kb_next, ledger_next = kb, ledger
+        cascade_out = None
+        if cfg.cascade:
+            cascade_out = run_cascade(
+                crawled_delta, self.seeds_df, w, cfg.relevance_threshold
+            )
+            kb_next = merge_kb(kb, wave_kb_delta(cascade_out["verdicts"]))
+            ledger_next = merge_ledger(ledger, cascade_out["ledger_delta"])
+
+        # --- metrics + commit ---------------------------------------------------
+        mframes: list[DataFrame] = []
+        self._metric(mframes, w, "selected", batch)
+        self._metric(mframes, w, "fetched", nonempty)
+        self._metric(mframes, w, "failed", failed)
+        self._metric(mframes, w, "unchanged", unchanged)
+        self._metric(mframes, w, "discovered", fresh)
+
+        # state tables are rewritten from a union of narrow branches; one
+        # explicit repartition keeps the snapshot at n_buckets files (and
+        # at cluster scale doubles as the bucket(url_hash) layout the
+        # anti-join wants to co-partition on).
+        with _T("stage.frontier"):
+            cat.stage(
+                "frontier",
+                frontier_next.repartition(cfg.n_buckets, F.col("url_hash")),
+                w,
+            )
+        with _T("stage.seen"):
+            cat.stage(
+                "seen", seen_next.repartition(cfg.n_buckets, F.col("url_hash")), w
+            )
+        if cfg.use_bloom:
+            filters_next = update_filters(
+                cat.read("seen_filters", FILTERS_SCHEMA),
+                new_rows.select("url_hash"),
+                cfg.n_buckets,
+                cfg.bloom_expected_items,
+                cfg.bloom_fpr,
+            )
+            cat.stage("seen_filters", filters_next, w)
+        cat.stage("site_stats", stats_next, w)
+        cat.stage("crawled", crawled_delta, w)
+        if cascade_out is not None:
+            # kb/ledger change only when the cascade ran; otherwise the
+            # previous snapshots stay current (no pointless rewrite)
+            cat.stage("kb", kb_next, w)
+            cat.stage("ledger", ledger_next, w)
+            cat.stage("packets", cascade_out["packets"], w)
+            cat.stage(
+                "rejected",
+                cascade_out["rejected"].withColumn("wave", F.lit(w)),
+                w,
+            )
+        if mframes:
+            allm = mframes[0]
+            for m in mframes[1:]:
+                allm = allm.unionByName(m)
+            cat.stage("metrics", allm, w)
+
+        with _T("nonempty.count"):
+            n_fetched = nonempty.count()
+        with _T("commit"):
+            cat.commit(w)
+        batch.unpersist()
+        ex.unpersist()
+        changed.unpersist()
+        new_rows.unpersist()
+        return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
+
+    def _finish_wave_no_batch(self, w, frontier, gated, blocked_keys):
+        outcome = gated.select(*FRONTIER_COLS).withColumn(
+            "state", F.lit("gated_kb")
+        ).withColumn("processed_wave", F.lit(w))
+        if blocked_keys is not None:
+            blocked_rows = frontier.join(blocked_keys, ["site_id", "url_hash"])
+            outcome = outcome.unionByName(
+                blocked_rows.select(*FRONTIER_COLS)
+                .withColumn("state", F.lit("robots_blocked"))
+                .withColumn("processed_wave", F.lit(w))
+            )
+        touched = outcome.select("site_id", "url_hash")
+        frontier_next = frontier.join(
+            touched, ["site_id", "url_hash"], "left_anti"
+        ).unionByName(outcome)
+        self.cat.stage("frontier", frontier_next, w)
+        self.cat.commit(w)
+
+    # -- full run ---------------------------------------------------------
+
+    def run(self, max_waves: int = 1000) -> list[dict]:
+        self.bootstrap()
+        history = []
+        for _ in range(max_waves):
+            res = self.run_wave()
+            history.append(res)
+            if res.get("done"):
+                break
+        return history

@@ -22,10 +22,15 @@ def spark():
 
 
 @pytest.fixture(scope="session")
-def corpus_dir(tmp_path_factory):
-    """Deterministic synthetic web corpus shared across tests."""
+def corpus(tmp_path_factory):
+    """Deterministic synthetic web corpus (dir + oracle manifest)."""
     from crawler_spark.synthgen import generate_corpus
 
     out = tmp_path_factory.mktemp("corpus")
-    generate_corpus(str(out), n_pages=400, seed=42)
-    return str(out)
+    manifest = generate_corpus(str(out), n_pages=400, seed=42)
+    return {"dir": str(out), "manifest": manifest}
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(corpus):
+    return corpus["dir"]

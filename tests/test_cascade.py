@@ -1,0 +1,168 @@
+"""Filter-cascade parity: packets, KB feedback math, ledger updates.
+
+The oracle transcribes the reference worker's routing
+(llm_processing_worker.py:78-124 semantics) and KB arithmetic
+(knowledge_base.py:43-59) in plain Python over the oracle crawl's texts;
+the scoring heuristics themselves are the engine-defined deterministic
+spec (imported pure functions — the parity target vs the reference is
+dataflow + routing, the LLM calls being re-expressed per the north star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import PurePosixPath
+from urllib.parse import urlparse
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.scoring import (
+    analyze_content,
+    gatekeeper_relevant,
+    is_low_quality_text,
+)
+from crawler_spark.wave import CrawlConfig, CrawlEngine
+from tests.oracle import kb_pattern, load_kb, load_pages, oracle_crawl_fifo
+
+THRESHOLD = 0.6
+
+
+def oracle_cascade(corpus_dir, manifest, seeds):
+    """Run the oracle crawl + cascade; returns packets/kb/ledger oracles."""
+    pages = load_pages(corpus_dir)
+    kb: dict[tuple[str, str], dict] = {
+        k: dict(v) for k, v in load_kb(corpus_dir).items()
+    }
+    accepted: dict[tuple[str, str], float] = {}
+    reject_reasons: dict[tuple[str, str], str] = {}
+
+    def kb_score(site_id, url, score):
+        p = kb_pattern(url)
+        e = kb.setdefault(
+            (site_id, p),
+            {"site_id": site_id, "pattern": p, "total_score": 0.0, "count": 0,
+             "avg_score": 0.0, "failure_count": 0},
+        )
+        e["total_score"] += score
+        e["count"] += 1
+        e["avg_score"] = round(e["total_score"] / e["count"], 3)
+
+    def kb_fail(site_id, url):
+        p = kb_pattern(url)
+        e = kb.setdefault(
+            (site_id, p),
+            {"site_id": site_id, "pattern": p, "total_score": 0.0, "count": 0,
+             "avg_score": 0.0, "failure_count": 0},
+        )
+        e["failure_count"] += 1
+
+    for s in seeds:
+        crawl = oracle_crawl_fifo(
+            corpus_dir, manifest, s["site_id"], s["base_url"], batch_size=20
+        )
+        for url in crawl["crawled"]:
+            text = pages[url]
+            key = (s["site_id"], url)
+            if "첨부 파일 처리 실패:" in text:
+                kb_fail(s["site_id"], url)
+                reject_reasons[key] = "parse_failure"
+                continue
+            if is_low_quality_text(text):
+                kb_score(s["site_id"], url, 0.0)
+                reject_reasons[key] = "low_quality"
+                continue
+            if not gatekeeper_relevant(text, s["instruction"]):
+                kb_score(s["site_id"], url, 0.0)
+                reject_reasons[key] = "gatekeeper"
+                continue
+            a = analyze_content(text, s["instruction"])
+            kb_score(s["site_id"], url, a["relevance_score"])
+            if a["relevance_score"] >= THRESHOLD:
+                accepted[key] = a["relevance_score"]
+            else:
+                reject_reasons[key] = "low_score"
+    return accepted, reject_reasons, kb
+
+
+@pytest.fixture(scope="module")
+def cascade_run(spark, corpus, tmp_path_factory):
+    work = tmp_path_factory.mktemp("cascade_run")
+    d = corpus["dir"]
+    engine = CrawlEngine(
+        spark, str(work),
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        kb_seed=spark.read.parquet(f"{d}/kb_seed.parquet"),
+        ledger_seed=spark.read.parquet(f"{d}/ledger_seed.parquet"),
+        config=CrawlConfig(mode="fifo", batch_size=20, cascade=True, metrics=False),
+    )
+    engine.run(max_waves=60)
+    seeds = pq.read_table(f"{d}/seeds.parquet").to_pylist()
+    oracle = oracle_cascade(d, corpus["manifest"], seeds)
+    return engine, oracle
+
+
+def test_packets_match_oracle(cascade_run):
+    engine, (accepted, rejected, kb) = cascade_run
+    got = {
+        (r["site_id"], r["content_url"]): r["relevance_score"]
+        for r in engine.cat.read("packets").collect()
+    }
+    assert set(got) == set(accepted)
+    for k, v in accepted.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_reject_reasons_match_oracle(cascade_run):
+    engine, (accepted, rejected, kb) = cascade_run
+    got = {
+        (r["site_id"], r["canonical_url"]): r["reason"]
+        for r in engine.cat.read("rejected").collect()
+    }
+    assert got == rejected
+
+
+def test_kb_feedback_matches_oracle(cascade_run):
+    """KB accumulation: total/count/round(avg,3)/failures — wave-merged
+    aggregates must equal the reference's sequential update arithmetic.
+
+    Note: the engine's KB is wave-synchronous (updates visible next wave)
+    while the reference's is racy-immediate. With the seeded gates static
+    over this corpus the *final* KB state is identical; the gate-visible
+    state differences are an intentional, documented semantic cleanup."""
+    engine, (accepted, rejected, kb_oracle) = cascade_run
+    got = {
+        (r["site_id"], r["pattern"]): r
+        for r in engine.cat.read("kb").collect()
+    }
+    assert set(got) == set(kb_oracle)
+    for k, e in kb_oracle.items():
+        g = got[k]
+        assert g["count"] == e["count"], k
+        assert abs(g["total_score"] - e["total_score"]) < 1e-9, k
+        assert abs(g["avg_score"] - e["avg_score"]) < 1e-9, k
+        assert g["failure_count"] == e["failure_count"], k
+
+
+def test_ledger_updated_for_accepted(cascade_run, corpus):
+    engine, (accepted, _, _) = cascade_run
+    pages = load_pages(corpus["dir"])
+    ledger = {r["url"]: r["content_hash"] for r in engine.cat.read("ledger").collect()}
+    for (_site, url) in accepted:
+        expect = hashlib.sha256(pages[url].encode("utf-8")).hexdigest()
+        assert ledger.get(url) == expect
+
+
+def test_packet_shape(cascade_run):
+    engine, _ = cascade_run
+    p = engine.cat.read("packets")
+    rows = p.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r["packet_id"]) == 64  # deterministic sha2 id (E15)
+        assert r["language"] in ("ko", "en", "unknown")
+        assert isinstance(r["keywords"], list) and len(r["keywords"]) <= 7
+        # E16 truncation
+        assert len(r["extracted_text"]) <= 503

@@ -1,0 +1,91 @@
+"""Dedup operators on a controlled corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import dedup
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red green blue"
+).split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(13)
+    rows = []
+    # 40 base docs of 60 words
+    bases = []
+    for i in range(40):
+        words = [rng.choice(WORDS) for _ in range(60)]
+        bases.append(words)
+        rows.append((i, " ".join(words)))
+    # exact dups of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append((100 + i, " ".join(bases[i])))
+    # near dups of docs 10..14: mutate 3 of 60 words (ids 200..204)
+    for i in range(5):
+        w = list(bases[10 + i])
+        for j in (5, 25, 45):
+            w[j] = "mutant%d" % j
+        rows.append((200 + i, " ".join(w)))
+    # unrelated short doc
+    rows.append((300, "tiny"))
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).filter(F.col("n_dups") > 1).collect()
+    reps = {r["representative"]: r["n_dups"] for r in groups}
+    assert reps == {i: 2 for i in range(5)}
+    kept = dedup.drop_exact_duplicates(docs)
+    assert kept.count() == docs.count() - 5
+    assert kept.filter(F.col("doc_id") >= 100).filter(F.col("doc_id") < 200).count() == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dups → jaccard 1.0
+    for i in range(5):
+        assert pairs[(i, 100 + i)] == 1.0
+    # planted near dups present with jaccard in (0.5, 1)
+    for i in range(5):
+        key = (10 + i, 200 + i)
+        assert key in pairs and 0.5 <= pairs[key] < 1.0, (key, pairs.get(key))
+    # no spurious cross-pairs between independent random docs
+    for (a, b), j in pairs.items():
+        assert (b - a) in (90, 100) or j < 0.9, (a, b, j)
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5, k=128, bands=32).collect()
+    }
+    expected = {(i, 100 + i) for i in range(5)} | {(10 + i, 200 + i) for i in range(5)}
+    assert expected <= got
+    # verification step guarantees precision: every pair is truly >= 0.5
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got <= exact
+
+
+def test_simhash_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=10).collect()
+    }
+    for i in range(5):
+        assert pairs.get((i, 100 + i)) == 0  # identical text → same simhash
+    near = [k for k in pairs if k[1] - k[0] == 190]
+    assert len(near) >= 3  # most 3-of-60-word mutations stay within 10 bits

@@ -1,0 +1,110 @@
+"""Bloom/cuckoo seen-set: zero false negatives, bounded FPR, and
+equivalence of the bloom-accelerated anti-join with the exact path
+(SURVEY §5 invariant 3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import bloom
+from crawler_spark.operators.cuckoo import CuckooFilter
+from crawler_spark.operators.seen import anti_join_seen
+
+N_BUCKETS = 8
+FPR = 0.01
+
+
+@pytest.fixture(scope="module")
+def hash_sets():
+    rng = np.random.default_rng(7)
+    seen = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    fresh = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    fresh = np.setdiff1d(fresh, seen)
+    return seen, fresh
+
+
+def test_scalar_vs_vector_probe_consistency():
+    m, k = bloom.size_filter(1000, FPR)
+    blob = bytearray(m // 8)
+    hs = [123456789, -987654321, 0, 2**62, -(2**62)]
+    for h in hs:
+        bloom.scalar_insert(blob, h, m, k)
+    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+    got = bloom._test_bits(arr, bloom._probes(np.array(hs, dtype=np.int64), m, k))
+    assert got.all()
+    for h in hs:
+        assert bloom.scalar_contains(bytes(blob), h, m, k)
+
+
+def test_bloom_no_false_negatives_and_fpr(spark, hash_sets):
+    seen, fresh = hash_sets
+    seen_df = spark.createDataFrame([(int(h),) for h in seen], "url_hash long")
+    filters = bloom.build_filters(
+        seen_df, n_buckets=N_BUCKETS, expected_items=len(seen), fpr=FPR
+    ).persist()
+
+    flagged_seen = bloom.bloom_flag(seen_df, filters, N_BUCKETS)
+    n_missed = flagged_seen.filter(~F.col("maybe_seen")).count()
+    assert n_missed == 0  # zero false negatives
+
+    fresh_df = spark.createDataFrame([(int(h),) for h in fresh], "url_hash long")
+    n_fp = bloom.bloom_flag(fresh_df, filters, N_BUCKETS).filter("maybe_seen").count()
+    measured_fpr = n_fp / len(fresh)
+    assert measured_fpr <= 3 * FPR, measured_fpr
+    filters.unpersist()
+
+
+def test_bloom_anti_join_equals_exact(spark, hash_sets):
+    seen, fresh = hash_sets
+    half = len(fresh) // 2
+    cand_hashes = np.concatenate([seen[:5000], fresh[:half]])
+    seen_df = spark.createDataFrame(
+        [("s", int(h)) for h in seen], "site_id string, url_hash long"
+    )
+    cand_df = spark.createDataFrame(
+        [("s", int(h)) for h in cand_hashes], "site_id string, url_hash long"
+    )
+    filters = bloom.build_filters(
+        seen_df, n_buckets=N_BUCKETS, expected_items=len(seen), fpr=FPR
+    )
+    exact = {
+        r["url_hash"] for r in anti_join_seen(cand_df, seen_df, N_BUCKETS).collect()
+    }
+    fast = {
+        r["url_hash"]
+        for r in bloom.bloom_anti_join_seen(cand_df, seen_df, filters, N_BUCKETS).collect()
+    }
+    assert fast == exact
+    assert fast == set(int(h) for h in fresh[:half])
+
+
+def test_bloom_incremental_update_matches_rebuild(spark, hash_sets):
+    seen, fresh = hash_sets
+    first = spark.createDataFrame([(int(h),) for h in seen[:10000]], "url_hash long")
+    second = spark.createDataFrame([(int(h),) for h in seen[10000:]], "url_hash long")
+    f1 = bloom.build_filters(first, N_BUCKETS, expected_items=len(seen), fpr=FPR)
+    f2 = bloom.update_filters(f1, second, N_BUCKETS, expected_items=len(seen), fpr=FPR)
+    all_df = spark.createDataFrame([(int(h),) for h in seen], "url_hash long")
+    missed = bloom.bloom_flag(all_df, f2, N_BUCKETS).filter(~F.col("maybe_seen")).count()
+    assert missed == 0
+    counts = {r["bucket"]: r["n_items"] for r in f2.collect()}
+    assert sum(counts.values()) == len(seen)
+
+
+def test_cuckoo_insert_contains_delete(hash_sets):
+    seen, fresh = hash_sets
+    f = CuckooFilter(n_slots_log2=14)  # 16384*4 slots for 20k items
+    for h in seen.tolist():
+        assert f.insert(int(h))
+    assert f.contains_many(seen).all()  # no false negatives
+    fpr = f.contains_many(fresh).mean()
+    assert fpr < 0.01, fpr  # 16-bit fingerprints → tiny FPR
+    # roundtrip through bytes (the filters-table blob path)
+    f2 = CuckooFilter.from_bytes(f.to_bytes(), f.n_items)
+    assert f2.contains_many(seen).all()
+    # deletion (bloom can't do this)
+    for h in seen[:100].tolist():
+        assert f2.delete(int(h))
+    assert not f2.contains_many(seen[:100]).all()

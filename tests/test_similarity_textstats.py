@@ -1,0 +1,126 @@
+"""Similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    # plant near-dups: rows 100..104 ≈ rows 0..4 + tiny noise
+    for i in range(5):
+        base[100 + i] = base[i] + rng.standard_normal(32).astype(np.float32) * 0.01
+    rows = [(int(i), base[i].tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.persist(), base
+
+
+def _brute_topk(base, q, k):
+    sims = base @ q / (np.linalg.norm(base, axis=1) * np.linalg.norm(q))
+    order = np.argsort(np.round(-sims, 4), kind="stable")
+    return [int(i) for i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, base = vectors
+    q = base[7].tolist()
+    got = [r["vec_id"] for r in similarity.cosine_topk(df, q, k=5).collect()]
+    assert got[0] == 7
+    expect = _brute_topk(base, np.asarray(q), 5)
+    assert set(got) == set(expect)
+
+
+def test_ann_lsh_recall(vectors):
+    df, base = vectors
+    hits = 0
+    for probe in range(5):
+        q = base[probe].tolist()
+        exact = set(_brute_topk(base, np.asarray(q), 3))
+        approx = {
+            r["vec_id"]
+            for r in similarity.ann_topk_lsh(df, q, k=3, n_bits=8).collect()
+        }
+        hits += len(exact & approx)
+    assert hits >= 10  # ≥ 2/3 recall on the planted structure
+
+
+def test_embedding_neardup_pairs(vectors):
+    df, base = vectors
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(df, threshold=0.98).collect()
+    }
+    expected = {(i, 100 + i) for i in range(5)}
+    assert expected <= pairs
+    for a, b in pairs - expected:
+        cos = float(
+            base[a] @ base[b] / (np.linalg.norm(base[a]) * np.linalg.norm(base[b]))
+        )
+        assert cos >= 0.979, (a, b, cos)
+
+
+def test_textstats_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog."),
+            (2, "한국어 문서 품질 점수 계산 테스트 입니다"),
+            (3, ""),
+            (4, "mixed 한국어 and english tokens, punctuation! here?"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.quality_features(df).withColumns(
+        {
+            "lang": textstats.lang_id(F.col("text")),
+            "subwords": textstats.subword_count(F.col("text")),
+            "fp": textstats.fingerprint_udf(4)(F.col("text")),
+        }
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["n_tokens"] == 7 and rows[2]["lang"] == "ko"
+    assert rows[3]["n_tokens"] == 0 and rows[3]["lang"] == "unknown"
+    assert rows[3]["fp"] == 0
+    assert rows[4]["lang"] == "ko" or rows[4]["lang"] == "en"  # mixed: ratio rule
+    assert rows[4]["subwords"] >= 8
+    # fingerprint deterministic
+    again = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert all(again[k] == rows[k]["fp"] for k in again)
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    # determinism across runs
+    again = {r["asset_id"]: r["feature"] for r in feats.collect()}
+    for r in rows:
+        assert again[r["asset_id"]] == r["feature"]
+    # frame sampling fan-out: one row per 1000ms of video
+    frames = multimodal.sample_frames(media, every_ms=1000, fake=True)
+    per_asset = {
+        r["asset_id"]: r["n"]
+        for r in frames.groupBy("asset_id").agg(F.count("*").alias("n")).collect()
+    }
+    vids = {r["asset_id"]: r["duration_ms"] for r in media.filter("kind='video'").collect()}
+    assert set(per_asset) == set(vids)
+    for aid, dur in vids.items():
+        assert per_asset[aid] == max(1, dur // 1000)
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
