@@ -21,6 +21,7 @@ from __future__ import annotations
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -78,13 +79,47 @@ def absolutize_udf(parents: pd.Series, hrefs: pd.Series) -> pd.Series:
     )
 
 
+# URLs matching this are already in canonical form (lowercase http(s)
+# scheme+host, no port/userinfo/fragment, non-empty path) — for them
+# canonicalize() is the identity, so the plan skips the Python UDF
+# entirely and stays in codegen. Anything unusual takes the slow path.
+_ALREADY_CANONICAL_RE = r"^https?://[a-z0-9][a-z0-9.-]*/[^#]*$"
+
+
+def canonical_col(url: Column) -> Column:
+    """canonical_url as a Column expression. NOTE: Spark extracts pandas
+    UDFs into an unconditional ArrowEvalPython stage, so the when-guard
+    selects *results* but does not skip the Python work — use
+    :func:`with_canonical_split` when the UDF cost matters (it splits the
+    rows so already-canonical URLs never leave the JVM)."""
+    return F.when(url.rlike(_ALREADY_CANONICAL_RE), url).otherwise(
+        canonicalize_udf(url)
+    )
+
+
+def with_canonical_split(df, url_col: str = "url"):
+    """Add ``canonical_url`` via filter-split: rows matching the
+    already-canonical regex take a zero-cost JVM identity branch; only
+    the oddballs (ports, uppercase, fragments, userinfo) pay the Arrow
+    UDF. The union preserves no ordering — callers downstream must not
+    rely on row order (the engine orders by data columns everywhere)."""
+    url = F.col(url_col)
+    simple = df.filter(url.rlike(_ALREADY_CANONICAL_RE)).withColumn(
+        "canonical_url", url
+    )
+    odd = df.filter(~url.rlike(_ALREADY_CANONICAL_RE)).withColumn(
+        "canonical_url", canonicalize_udf(url)
+    )
+    return simple.unionByName(odd)
+
+
 def with_canonical(df, url_col: str = "url"):
     """Add ``canonical_url``, ``url_hash`` (xxhash64, the seen key) and
     ``host`` columns. ``host``/hash are pure JVM column expressions so the
-    scan → hash path stays inside whole-stage codegen; only the
-    canonical-form rewrite itself is a pandas UDF."""
+    scan → hash path stays inside whole-stage codegen; the canonical-form
+    rewrite is JVM for already-canonical URLs, pandas UDF otherwise."""
     return (
-        df.withColumn("canonical_url", canonicalize_udf(F.col(url_col)))
+        df.withColumn("canonical_url", canonical_col(F.col(url_col)))
         .withColumn("url_hash", F.xxhash64(F.col("canonical_url")))
         .withColumn("host", F.lower(F.parse_url(F.col("canonical_url"), F.lit("HOST"))))
     )

@@ -114,12 +114,21 @@ def select_wave_batch_priority(
     candidates: DataFrame,
     host_quota: DataFrame,
     batch_sizes: DataFrame,
+    skip_budget_rank: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """North-rule batch selection: per-host quota rank then per-site budget.
 
     ``host_quota``: (site_id, host, quota) from the politeness scheduler.
     Gated rows are all consumed this wave (simpler-than-reference
     semantics, documented; the oracle mirrors it).
+
+    The per-host rank partitions by (site_id, host) — parallel across
+    hosts, bounded per host by its quota. The per-site budget rank is the
+    one single-partition-per-site sort; it runs on the already
+    quota-capped set (≤ Σ quotas ≪ frontier), and callers that know the
+    budget cannot bind (batch_size ≥ candidate count, e.g. drain-the-
+    frontier benchmarks) pass ``skip_budget_rank=True`` to elide it
+    entirely — semantics are identical by construction.
     """
     consumed_gated = candidates.filter(F.col("kb_gated"))
     live = candidates.filter(~F.col("kb_gated"))
@@ -133,6 +142,8 @@ def select_wave_batch_priority(
     within_quota = ranked.filter(
         F.col("host_rn") <= F.coalesce(F.col("quota"), F.lit(1))
     )
+    if skip_budget_rank:
+        return within_quota.drop("host_rn", "quota"), consumed_gated
 
     site_w = Window.partitionBy("site_id").orderBy(
         F.desc("score"), F.asc("depth"), F.asc("seq")
@@ -146,20 +157,90 @@ def select_wave_batch_priority(
     return batch, consumed_gated
 
 
-def assign_seq(new_links: DataFrame, max_seq: DataFrame) -> DataFrame:
+def assign_seq(
+    new_links: DataFrame, max_seq: DataFrame, distributed: bool = False, n_parts: int = 32
+) -> DataFrame:
     """Deterministic insertion order for newly discovered frontier rows.
 
     seq = per-site rank over (parent_seq, link_idx) + the site's current
     max seq — the data-derived equivalent of the reference's sequential
     ``queue.append`` order (never ``monotonically_increasing_id``, which
     is task-timing dependent).
+
+    ``distributed=False``: single Window rank per site — exact and fine
+    for reference-parity batch sizes.
+
+    ``distributed=True``: the 10^10-scale path — a two-phase rank
+    (distributed zipWithIndex): range-partition on the order key, rank
+    within partitions, offset by per-(partition, site) cumulative counts
+    computed on ~n_parts tiny rows. Bit-identical output to the Window
+    path (test-enforced), with no single-partition sort anywhere.
     """
-    w = Window.partitionBy("site_id").orderBy("parent_seq", "link_idx")
-    return (
-        new_links.join(F.broadcast(max_seq), "site_id", "left")
+    if not distributed:
+        w = Window.partitionBy("site_id").orderBy("parent_seq", "link_idx")
+        return (
+            new_links.join(F.broadcast(max_seq), "site_id", "left")
+            .withColumn(
+                "seq",
+                F.row_number().over(w) + F.coalesce(F.col("_max_seq"), F.lit(0)),
+            )
+            .drop("_max_seq")
+        )
+
+    # Deterministic order-preserving buckets: split each site's
+    # parent_seq value range into n equal intervals (no sampling — range
+    # boundaries must be identical across the counts job and the rank
+    # job, and across resume re-runs). parent_seq within a wave spans the
+    # batch's seq range roughly uniformly, so the buckets stay balanced.
+    bounds = F.broadcast(
+        new_links.groupBy("site_id").agg(
+            F.min("parent_seq").alias("_lo"), F.max("parent_seq").alias("_hi")
+        )
+    )
+    ranged = (
+        new_links.join(bounds, "site_id", "left")
+        .withColumn(
+            "_pid",
+            F.least(
+                F.lit(n_parts - 1),
+                F.floor(
+                    (F.col("parent_seq") - F.col("_lo"))
+                    * n_parts
+                    / (F.col("_hi") - F.col("_lo") + 1)
+                ),
+            ).cast("int"),
+        )
+        .drop("_lo", "_hi")
+    )
+    ranged = ranged.repartition(n_parts, F.col("_pid")).persist()
+    # per-(bucket, site) counts → driver-side cumulative offsets
+    counts = (
+        ranged.groupBy("_pid", "site_id").count().orderBy("site_id", "_pid").collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in counts:
+        site = r["site_id"]
+        offsets[(r["_pid"], site)] = running.get(site, 0)
+        running[site] = running.get(site, 0) + r["count"]
+    spark = new_links.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, site, off) for (pid, site), off in offsets.items()],
+            "_pid int, site_id string, _off long",
+        )
+    )
+    local_w = Window.partitionBy("_pid", "site_id").orderBy("parent_seq", "link_idx")
+    out = (
+        ranged.withColumn("_lrn", F.row_number().over(local_w))
+        .join(off_df, ["_pid", "site_id"], "left")
+        .join(F.broadcast(max_seq), "site_id", "left")
         .withColumn(
             "seq",
-            F.row_number().over(w) + F.coalesce(F.col("_max_seq"), F.lit(0)),
+            F.col("_lrn")
+            + F.coalesce(F.col("_off"), F.lit(0))
+            + F.coalesce(F.col("_max_seq"), F.lit(0)),
         )
-        .drop("_max_seq")
+        .drop("_pid", "_lrn", "_off", "_max_seq")
     )
+    return out

@@ -129,7 +129,6 @@ CRAWLED = StructType(
         StructField("text", StringType()),
         StructField("quality_score", DoubleType()),
         StructField("content_hash", StringType()),
-        StructField("links", ArrayType(LINK)),
     ]
 )
 

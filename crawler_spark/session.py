@@ -32,6 +32,7 @@ def build_session(
     """Create (or reuse) a SparkSession with engine defaults applied."""
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -48,6 +49,9 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
+        # local-mode executor memory = driver memory; size it for real
+        # (hash maps / sort buffers of the fetch join at bench scale)
+        .config("spark.driver.memory", driver_mem)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

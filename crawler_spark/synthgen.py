@@ -143,6 +143,7 @@ def generate_corpus(
     sentinel_every: int = 37,
     unchanged_every: int = 23,
     empty_every: int = 41,
+    page_scale: int = 1,
 ) -> dict:
     """Write pages/seeds/robots/kb_seed/ledger_seed parquet into out_dir.
 
@@ -176,8 +177,10 @@ def generate_corpus(
 
             title = f"Page {j} of {host} " + _sentence(rng, ko_ratio)[:-1]
 
-            # body paragraphs
-            n_para = rng.randint(1, 6)
+            # body paragraphs; page_scale multiplies body size toward
+            # realistic web-page weight (bench corpora) without changing
+            # the rng stream for page_scale=1 (test corpora stay stable)
+            n_para = rng.randint(1, 6) * page_scale
             paras = [_sentence(rng, ko_ratio) + " " + _sentence(rng, ko_ratio) for _ in range(n_para)]
             if row % 7 == 0:
                 paras.append(rng.choice(_NOISE_LINES))

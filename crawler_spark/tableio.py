@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -48,6 +49,7 @@ class TableCatalog:
     def __post_init__(self):
         os.makedirs(self.root, exist_ok=True)
         self._state = self._load_checkpoint()
+        self._lock = threading.Lock()
 
     # -- checkpoint ----------------------------------------------------
 
@@ -82,7 +84,8 @@ class TableCatalog:
         if os.path.exists(path):
             shutil.rmtree(path)  # stale leftover from a crashed wave
         df.write.mode("overwrite").parquet(path)
-        self._pending[name] = rel
+        with self._lock:
+            self._pending[name] = rel
 
     def commit(self, wave: int) -> None:
         """Atomically publish every staged table as wave ``wave``."""

@@ -25,27 +25,11 @@ import os
 import time
 from dataclasses import dataclass
 
-_PROFILE = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
-
-
-class _T:
-    """Env-gated section timer for wave profiling."""
-
-    def __init__(self, label):
-        self.label = label
-
-    def __enter__(self):
-        self.t0 = time.time()
-
-    def __exit__(self, *a):
-        if _PROFILE:
-            print(f"    [{self.label}] {time.time() - self.t0:.2f}s", flush=True)
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark import schemas
-from crawler_spark.canon import canonicalize_udf
+from crawler_spark.canon import canonicalize_udf, with_canonical_split
 from crawler_spark.functions.html_extract import extract_udf
 from crawler_spark.functions.urlfns import content_hash, is_valid_url
 from crawler_spark.operators.cascade import merge_ledger, run_cascade
@@ -69,6 +53,23 @@ from crawler_spark.tableio import APPEND, REPLACE, TableCatalog
 
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 
+_PROFILE = os.environ.get("SPARK_GRAFT_PROFILE", "0") != "0"
+_PROFILE_DEEP = os.environ.get("SPARK_GRAFT_PROFILE") == "2"
+
+
+class _T:
+    """Env-gated section timer for wave profiling."""
+
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.time()
+
+    def __exit__(self, *a):
+        if _PROFILE:
+            print(f"    [{self.label}] {time.time() - self.t0:.2f}s", flush=True)
+
 
 @dataclass
 class CrawlConfig:
@@ -88,6 +89,9 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_fpr: float = 0.01
     bloom_expected_items: int = 1_000_000
+    # two-phase distributed seq assignment (no single-partition sort);
+    # bit-identical to the Window path, used for huge waves
+    distributed_seq: bool = False
 
 
 class CrawlEngine:
@@ -111,6 +115,18 @@ class CrawlEngine:
         )
         self._kb_seed = kb_seed
         self._ledger_seed = ledger_seed
+        # The simulated web, pre-partitioned ONCE on xxhash64(url) buckets
+        # and cached: every wave's fetch join is then co-partitioned and
+        # never re-shuffles the (huge) pages side — the parquet stand-in
+        # for an Iceberg storage-partitioned join on bucket(url_hash).
+        self._pages_fetch = (
+            pages.select(
+                F.col("url").alias("_page_url"), F.col("html").alias("_html")
+            )
+            .withColumn("_page_hash", F.xxhash64("_page_url"))
+            .repartition(self.config.n_buckets, F.col("_page_hash"))
+            .persist()
+        )
 
         cat = TableCatalog(spark, workdir)
         for name, mode in [
@@ -168,6 +184,7 @@ class CrawlEngine:
         self.cat.stage("ledger", ledger0, 0)
         self.cat.stage("site_stats", stats0, 0)
         self.cat.commit(0)
+        self._pages_fetch.count()  # warm the bucketed fetch cache
 
     def bootstrap_full_frontier(self) -> None:
         """Bench/steady-state bootstrap: the whole pages table becomes the
@@ -224,6 +241,7 @@ class CrawlEngine:
                 0,
             )
         self.cat.commit(0)
+        self._pages_fetch.count()  # warm the bucketed fetch cache
 
     # -- helpers ----------------------------------------------------------
 
@@ -290,9 +308,10 @@ class CrawlEngine:
         pending = frontier.filter(F.col("state") == "pending").join(
             F.broadcast(active), "site_id"
         )
-        with _T("pending.isEmpty"):
-            if pending.isEmpty():
-                return {"wave": w, "done": True, "fetched": 0}
+        with _T("pending.count"):
+            n_pending = pending.count()
+        if n_pending == 0:
+            return {"wave": w, "done": True, "fetched": 0}
 
         cand = apply_kb_gates(pending, kb)
 
@@ -304,8 +323,13 @@ class CrawlEngine:
             cand_live = cand.filter(~F.col("robots_blocked")).drop("robots_blocked")
             hosts = cand_live.select("site_id", "host").distinct()
             quotas = host_quotas(hosts, self.seeds_df, self.robots_df, cfg.wave_seconds)
+            # the global budget rank cannot bind when the configured batch
+            # covers every pending row — elide its single-partition sort
+            skip_budget = (
+                cfg.batch_size is not None and cfg.batch_size >= n_pending
+            )
             batch, gated = select_wave_batch_priority(
-                cand_live, quotas, self._batch_sizes()
+                cand_live, quotas, self._batch_sizes(), skip_budget_rank=skip_budget
             )
         else:
             batch, gated = select_wave_batch_fifo(cand, self._batch_sizes())
@@ -319,20 +343,31 @@ class CrawlEngine:
             return {"wave": w, "done": False, "fetched": 0, "batch": 0}
 
         # --- fetch (simulated web: lookup in the pages table) ------------
-        # shuffle-hash join, never broadcast: at 10^10 the web-pages side
-        # is massive, and shuffling both sides on the join key also gives
-        # the extract stage real partition parallelism (a broadcast join
-        # would leave all output rows in the scan's partitioning).
-        page_side = self.pages.select(
-            F.col("url").alias("_page_url"), F.col("html").alias("_html")
+        # Co-partitioned join against the pre-bucketed pages cache: only
+        # the (small) wave batch shuffles; the pages side is never
+        # broadcast (massive at 10^10) and never re-shuffled (bucketed
+        # once at init — on a cluster this is an Iceberg storage-
+        # partitioned join). The shuffle_hash hint on the batch side
+        # builds the per-partition hash map from the wave batch, not the
+        # web. Joining on (hash, url) keeps hash collisions harmless.
+        page_side = self._pages_fetch
+        fetched = (
+            batch.hint("shuffle_hash")
+            .repartition(cfg.n_buckets, F.col("url_hash"))
+            .join(
+                page_side,
+                (batch["url_hash"] == page_side["_page_hash"])
+                & (batch["canonical_url"] == page_side["_page_url"]),
+                "left",
+            )
+            .drop("_page_url", "_page_hash")
         )
-        fetched = batch.join(
-            page_side.hint("shuffle_hash"),
-            batch["canonical_url"] == page_side["_page_url"],
-            "left",
-        ).drop("_page_url")
 
         # --- extract -------------------------------------------------------
+        # The join output inherits the n_buckets co-partitioning, which
+        # also gives the extract UDF its parallelism (never leave this to
+        # AQE: it coalesces shuffles by *byte* size and would starve the
+        # CPU-heavy UDF of partitions).
         seed_dim = self._seed_dim()
         fetched = fetched.join(seed_dim, "site_id", "left")
         ex = fetched.withColumn(
@@ -371,7 +406,6 @@ class CrawlEngine:
             F.col("ex.text").alias("text"),
             F.col("ex.quality_score").alias("quality_score"),
             "content_hash",
-            F.col("ex.links").alias("links"),
         )
 
         # --- link expansion (Q3) --------------------------------------------
@@ -403,11 +437,11 @@ class CrawlEngine:
             )
         valid = exploded.filter(validity).drop("base_netloc")
         valid = (
-            valid.withColumn("canonical_url", canonicalize_udf("url"))
+            with_canonical_split(valid, "url")
             .withColumn("url_hash", F.xxhash64("canonical_url"))
             .withColumn("host", F.lower(F.parse_url("canonical_url", F.lit("HOST"))))
         )
-        deduped = dedup_in_wave(valid)
+        deduped = dedup_in_wave(valid).persist()
         if cfg.use_bloom:
             filters = cat.read("seen_filters", FILTERS_SCHEMA)
             fresh = bloom_anti_join_seen(deduped, seen, filters, cfg.n_buckets)
@@ -415,7 +449,9 @@ class CrawlEngine:
             fresh = anti_join_seen(deduped, seen, cfg.n_buckets)
 
         max_seq = frontier.groupBy("site_id").agg(F.max("seq").alias("_max_seq"))
-        new_rows = assign_seq(fresh, max_seq).select(
+        new_rows = assign_seq(
+            fresh, max_seq, distributed=cfg.distributed_seq, n_parts=cfg.n_buckets
+        ).select(
             "url",
             "canonical_url",
             "url_hash",
@@ -432,6 +468,17 @@ class CrawlEngine:
         ).select(*FRONTIER_COLS)
 
         new_rows = new_rows.persist()
+        if _PROFILE_DEEP:
+            with _T("deep.ex.count"):
+                ex.count()
+            with _T("deep.changed.count"):
+                changed.count()
+            with _T("deep.valid.count"):
+                valid.count()
+            with _T("deep.deduped.count"):
+                deduped.count()
+            with _T("deep.fresh.count"):
+                fresh.count()
         with _T("new_rows.count"):
             new_rows.count()  # materialize once: staged 3x (frontier/seen/bloom)
 
@@ -508,20 +555,19 @@ class CrawlEngine:
         self._metric(mframes, w, "unchanged", unchanged)
         self._metric(mframes, w, "discovered", fresh)
 
-        # state tables are rewritten from a union of narrow branches; one
-        # explicit repartition keeps the snapshot at n_buckets files (and
-        # at cluster scale doubles as the bucket(url_hash) layout the
-        # anti-join wants to co-partition on).
-        with _T("stage.frontier"):
-            cat.stage(
-                "frontier",
-                frontier_next.repartition(cfg.n_buckets, F.col("url_hash")),
-                w,
-            )
-        with _T("stage.seen"):
-            cat.stage(
-                "seen", seen_next.repartition(cfg.n_buckets, F.col("url_hash")), w
-            )
+        # Stage all tables concurrently: every shared input (batch/ex/
+        # changed/new_rows) is already materialized in the block cache, so
+        # the writes are independent Spark jobs — submitting them from
+        # threads overlaps scheduling and parquet I/O, cutting fixed
+        # per-wave overhead. State tables go through one explicit
+        # repartition on url_hash (at cluster scale: the bucket(url_hash)
+        # layout the seen anti-join co-partitions on).
+        stage_jobs: list[tuple[str, DataFrame]] = [
+            ("frontier", frontier_next.repartition(cfg.n_buckets, F.col("url_hash"))),
+            ("seen", seen_next.repartition(cfg.n_buckets, F.col("url_hash"))),
+            ("site_stats", stats_next),
+            ("crawled", crawled_delta),
+        ]
         if cfg.use_bloom:
             filters_next = update_filters(
                 cat.read("seen_filters", FILTERS_SCHEMA),
@@ -530,25 +576,30 @@ class CrawlEngine:
                 cfg.bloom_expected_items,
                 cfg.bloom_fpr,
             )
-            cat.stage("seen_filters", filters_next, w)
-        cat.stage("site_stats", stats_next, w)
-        cat.stage("crawled", crawled_delta, w)
+            stage_jobs.append(("seen_filters", filters_next))
         if cascade_out is not None:
             # kb/ledger change only when the cascade ran; otherwise the
             # previous snapshots stay current (no pointless rewrite)
-            cat.stage("kb", kb_next, w)
-            cat.stage("ledger", ledger_next, w)
-            cat.stage("packets", cascade_out["packets"], w)
-            cat.stage(
-                "rejected",
-                cascade_out["rejected"].withColumn("wave", F.lit(w)),
-                w,
-            )
+            stage_jobs += [
+                ("kb", kb_next),
+                ("ledger", ledger_next),
+                ("packets", cascade_out["packets"]),
+                ("rejected", cascade_out["rejected"].withColumn("wave", F.lit(w))),
+            ]
         if mframes:
             allm = mframes[0]
             for m in mframes[1:]:
                 allm = allm.unionByName(m)
-            cat.stage("metrics", allm, w)
+            stage_jobs.append(("metrics", allm))
+
+        with _T("stage.all"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                for fu in [
+                    pool.submit(cat.stage, name, df, w) for name, df in stage_jobs
+                ]:
+                    fu.result()
 
         with _T("nonempty.count"):
             n_fetched = nonempty.count()
@@ -557,6 +608,7 @@ class CrawlEngine:
         batch.unpersist()
         ex.unpersist()
         changed.unpersist()
+        deduped.unpersist()
         new_rows.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 

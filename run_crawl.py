@@ -1,0 +1,104 @@
+"""CLI entry point for the crawl engine — the spark-submit surface.
+
+Local:
+    python run_crawl.py --corpus /tmp/corpus --workdir /tmp/crawl1 \
+        --mode priority --waves 20 --cascade
+
+Cluster (the north-rule launch path):
+    python make_pyfiles.py           # → dist/crawler_spark.zip
+    spark-submit --py-files dist/crawler_spark.zip run_crawl.py \
+        --corpus s3://bucket/corpus --workdir s3://bucket/crawl1 ...
+
+If --corpus does not exist, a synthetic corpus is generated there first
+(--gen-pages controls its size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="crawler_spark wave-synchronous crawl")
+    ap.add_argument("--corpus", required=True, help="dir with pages/seeds/robots parquet")
+    ap.add_argument("--workdir", required=True, help="engine state dir (checkpointed)")
+    ap.add_argument("--mode", choices=["fifo", "priority"], default="priority")
+    ap.add_argument("--waves", type=int, default=100)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--wave-seconds", type=float, default=20.0)
+    ap.add_argument("--cascade", action="store_true", help="run the filter cascade per wave")
+    ap.add_argument("--bloom", action="store_true", help="bloom-prefiltered seen set")
+    ap.add_argument("--open-crawl", action="store_true", help="follow cross-host links")
+    ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    ap.add_argument("--gen-pages", type=int, default=2000)
+    args = ap.parse_args()
+
+    from crawler_spark.session import build_session
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    spark = build_session(app_name="run_crawl", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if not os.path.exists(os.path.join(args.corpus, "pages.parquet")):
+        os.makedirs(args.corpus, exist_ok=True)
+        from crawler_spark.synthgen import generate_corpus
+
+        print(f"generating synthetic corpus ({args.gen_pages} pages) at {args.corpus}",
+              file=sys.stderr)
+        generate_corpus(args.corpus, n_pages=args.gen_pages)
+
+    def t(name):
+        return spark.read.parquet(f"{args.corpus}/{name}.parquet")
+
+    def opt(name):
+        path = f"{args.corpus}/{name}.parquet"
+        return spark.read.parquet(path) if os.path.exists(path) else None
+
+    engine = CrawlEngine(
+        spark,
+        args.workdir,
+        pages=t("pages"),
+        seeds=t("seeds"),
+        robots=opt("robots"),
+        kb_seed=opt("kb_seed"),
+        ledger_seed=opt("ledger_seed"),
+        config=CrawlConfig(
+            mode=args.mode,
+            batch_size=args.batch_size,
+            wave_seconds=args.wave_seconds,
+            cascade=args.cascade,
+            use_bloom=args.bloom,
+            same_domain_only=not args.open_crawl,
+        ),
+    )
+    resumed_from = engine.cat.committed_wave
+    if resumed_from >= 0:
+        print(f"resuming from committed wave {resumed_from}", file=sys.stderr)
+    t0 = time.time()
+    history = engine.run(max_waves=args.waves)
+    elapsed = time.time() - t0
+    fetched = sum(h.get("fetched", 0) for h in history)
+    selected = sum(h.get("batch", 0) for h in history)
+    summary = {
+        "waves": len(history),
+        "resumed_from": resumed_from,
+        "selected": selected,
+        "fetched": fetched,
+        "sec": round(elapsed, 2),
+        "urls_per_sec": round(selected / elapsed, 2) if elapsed > 0 else 0.0,
+        "done": bool(history and history[-1].get("done")),
+        "committed_wave": engine.cat.committed_wave,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
