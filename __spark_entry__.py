@@ -325,6 +325,26 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fingerprint"))
 
 
+def q_density_extract(spark, sf_dir):
+    """E4 density extractor over synthesized HTML from documents.text."""
+    from crawler_spark.functions.html_extract import extract_density_udf
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><div class='content'><p>"),
+        F.col("text"),
+        F.lit("</p></div><footer>Copyright x</footer></body></html>"),
+    ).cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(
+            extract_density_udf(
+                html, F.lit("https://d.example.org/x"), F.lit("d.example.org")
+            )["text"]
+        ).alias("extracted_len"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from crawler_spark.operators.multimodal import extract_features, synth_media
 
@@ -401,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "density_extract": q_density_extract,
         "gate_cascade": q_gate_cascade,
     }
 

@@ -52,6 +52,7 @@ def run_crawl_bench(
     from crawler_spark.wave import CrawlConfig, CrawlEngine
 
     d = _corpus(n_pages, page_scale)
+    batch_size = max(1, n_pages // max(1, waves))
     pages = spark.read.parquet(f"{d}/pages.parquet")
     seeds = spark.read.parquet(f"{d}/seeds.parquet").limit(1)
     robots = spark.read.parquet(f"{d}/robots.parquet")
@@ -65,7 +66,7 @@ def run_crawl_bench(
             mode="priority",
             # each wave pops ~1/waves of the frontier (politeness quota
             # computed but non-binding: this measures machinery throughput)
-            batch_size=max(1, n_pages // int(os.environ.get("BENCH_WAVES", "4"))),
+            batch_size=batch_size,
             wave_seconds=1e6,
             same_domain_only=False,
             use_bloom=True,

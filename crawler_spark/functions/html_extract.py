@@ -305,3 +305,179 @@ def extract_udf(html: pd.Series, url: pd.Series, base_netloc: pd.Series) -> pd.D
             for r in rows
         ]
     )
+
+
+# --- E4: link-density-scoring extractor (second strategy) -----------------
+# Re-expresses the reference's alternative extractor
+# (src/crawler/data_extractor_2.py:44-123, bs4-based): score every
+# div/article/section by pure_text_len * (1 - link_density^2) with a 1.5x
+# boost for content-ish id/class, pick the argmax, strip noise-classed
+# descendants, emit line-per-text-node output through its own clean
+# chain. Unlike the selector extractor this one yields MULTI-LINE text,
+# so the F10 list-like gate has real line structure to judge.
+
+_DENSITY_DROP_TAGS = frozenset(
+    {"script", "style", "header", "footer", "nav", "aside", "form", "button",
+     "iframe", "figure"}
+)
+_DENSITY_BOOST_KEYWORDS = ("content", "article", "post", "body", "main", "view")
+_DENSITY_NOISE_KEYWORDS = (
+    "comment", "related", "share", "social", "extra", "footer", "header",
+    "nav", "menu", "button", "author", "widget",
+)
+_DENSITY_LINE_NOISE = [
+    "다운로드", "뷰어", "첨부파일", "목록으로", "이전글", "다음글", "맨위로",
+    "Copyright", "All rights reserved", "찾아오시는 길", "개인정보처리방침",
+    "유용한 정보가 되었나요?",
+]
+_DENSITY_META_RE = re.compile(r"^\s*(작성자|등록일|조회수|담당부서|키워드|분류)\s*[:\s]")
+_MULTI_BLANK_RE = re.compile(r"(\n\s*){3,}")
+
+
+def _text_stripped_concat(node: _Node) -> str:
+    """bs4 get_text(strip=True) semantics: each string stripped, empties
+    dropped, concatenated with no separator."""
+    parts: list[str] = []
+
+    def walk(n: _Node):
+        for c in n.children:
+            if isinstance(c, str):
+                s = c.strip()
+                if s:
+                    parts.append(s)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(parts)
+
+
+def _text_newline_joined(node: _Node) -> str:
+    """bs4 get_text(separator='\\n', strip=False) semantics."""
+    parts: list[str] = []
+
+    def walk(n: _Node):
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return "\n".join(parts)
+
+
+def _density_drop(node: _Node) -> None:
+    node.children = [
+        c for c in node.children if isinstance(c, str) or c.tag not in _DENSITY_DROP_TAGS
+    ]
+    for c in node.children:
+        if isinstance(c, _Node):
+            _density_drop(c)
+
+
+def _content_score(el: _Node) -> float:
+    if el.tag in ("script", "style", "a"):
+        return 0.0
+    text = _text_stripped_concat(el)
+    text_length = len(text)
+    if text_length < 100:
+        return 0.0
+    link_text_length = sum(
+        len(_text_stripped_concat(a)) for a in _iter_elements(el) if a.tag == "a"
+    )
+    pure = text_length - link_text_length
+    density = link_text_length / max(1, text_length)
+    score = pure * (1 - density**2)
+    tag_id = el.attrs.get("id", "").lower()
+    tag_class = el.attrs.get("class", "").lower()
+    if any(k in tag_id or k in tag_class for k in _DENSITY_BOOST_KEYWORDS):
+        score *= 1.5
+    return score
+
+
+def density_final_clean(text: str) -> str:
+    text = _MULTI_BLANK_RE.sub("\n\n", text)
+    out = []
+    for line in text.split("\n"):
+        s = line.strip()
+        if not s or len(s) < 10:
+            continue
+        if any(k in s for k in _DENSITY_LINE_NOISE):
+            continue
+        if _DENSITY_META_RE.match(s):
+            continue
+        out.append(s)
+    return "\n".join(out)
+
+
+def extract_main_content_density(root: _Node) -> str:
+    _density_drop(root)
+    best = None
+    highest = 0.0
+    body = None
+    for el in _iter_elements(root):
+        if el.tag == "body" and body is None:
+            body = el
+        if el.tag in ("div", "article", "section"):
+            s = _content_score(el)
+            if s > highest:
+                highest = s
+                best = el
+    target = best if best is not None else (body or root)
+    # strip noise-classed descendants (collect-then-remove, as reference)
+    to_drop = [
+        t
+        for t in _iter_elements(target)
+        if t.tag in ("div", "section", "ul", "li", "table")
+        and any(
+            k in t.attrs.get("id", "").lower() or k in t.attrs.get("class", "").lower()
+            for k in _DENSITY_NOISE_KEYWORDS
+        )
+    ]
+    dropset = set(map(id, to_drop))
+
+    def prune(n: _Node):
+        n.children = [
+            c for c in n.children if isinstance(c, str) or id(c) not in dropset
+        ]
+        for c in n.children:
+            if isinstance(c, _Node):
+                prune(c)
+
+    prune(target)
+    return density_final_clean(_text_newline_joined(target))
+
+
+def extract_page_density(html: bytes | str | None, url: str, base_netloc: str):
+    """E4 strategy: density-scored main content, same link/title surface."""
+    if html is None:
+        return None
+    try:
+        root = parse_html(html)
+        title = extract_title(root, url)
+        text = extract_main_content_density(root)  # drops noise tags itself
+        links = extract_links(root, url, base_netloc)
+        return {
+            "title": title,
+            "text": text,
+            "links": links,
+            "quality_score": content_quality(text),
+        }
+    except Exception:
+        return None
+
+
+@F.pandas_udf(EXTRACTED)
+def extract_density_udf(
+    html: pd.Series, url: pd.Series, base_netloc: pd.Series
+) -> pd.DataFrame:
+    rows = [extract_page_density(h, u, b) for h, u, b in zip(html, url, base_netloc)]
+    return pd.DataFrame(
+        [
+            r
+            if r is not None
+            else {"title": None, "text": None, "links": None, "quality_score": None}
+            for r in rows
+        ]
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.canon import canonicalize_udf, with_canonical_split
-from crawler_spark.functions.html_extract import extract_udf
+from crawler_spark.functions.html_extract import extract_density_udf, extract_udf
 from crawler_spark.functions.urlfns import content_hash, is_valid_url
 from crawler_spark.operators.cascade import merge_ledger, run_cascade
 from crawler_spark.operators.frontier import (
@@ -92,6 +92,9 @@ class CrawlConfig:
     # two-phase distributed seq assignment (no single-partition sort);
     # bit-identical to the Window path, used for huge waves
     distributed_seq: bool = False
+    # extraction strategy: 'selector' (HP extractor parity, E1-E6) or
+    # 'density' (link-density scoring variant, E4)
+    extractor: str = "selector"
 
 
 class CrawlEngine:
@@ -370,11 +373,12 @@ class CrawlEngine:
         # CPU-heavy UDF of partitions).
         seed_dim = self._seed_dim()
         fetched = fetched.join(seed_dim, "site_id", "left")
+        ex_udf = extract_density_udf if cfg.extractor == "density" else extract_udf
         ex = fetched.withColumn(
             "ex",
             F.when(
                 F.col("_html").isNotNull(),
-                extract_udf("_html", "canonical_url", "base_netloc"),
+                ex_udf("_html", "canonical_url", "base_netloc"),
             ),
         ).drop("_html")
         ex = ex.persist()

@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--cascade", action="store_true", help="run the filter cascade per wave")
     ap.add_argument("--bloom", action="store_true", help="bloom-prefiltered seen set")
     ap.add_argument("--open-crawl", action="store_true", help="follow cross-host links")
+    ap.add_argument("--extractor", choices=["selector", "density"], default="selector",
+                    help="main-content extraction strategy (E3 selector-priority or E4 link-density)")
     ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
     ap.add_argument("--gen-pages", type=int, default=2000)
     args = ap.parse_args()
@@ -75,6 +77,7 @@ def main() -> int:
             cascade=args.cascade,
             use_bloom=args.bloom,
             same_domain_only=not args.open_crawl,
+            extractor=args.extractor,
         ),
     )
     resumed_from = engine.cat.committed_wave
