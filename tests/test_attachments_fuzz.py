@@ -1,0 +1,100 @@
+"""Attachment pipeline tests + hypothesis fuzz of the hashing/canon/clean
+cores (property-based, pure Python — no Spark in the fuzz paths)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.canon import canonicalize
+from crawler_spark.functions.html_extract import clean_extracted_text, extract_page
+from crawler_spark.hashing import xxhash64_bytes, xxhash64_str
+from crawler_spark.operators.attachments import (
+    PARSE_FAIL_SENTINEL,
+    parse_attachment,
+    parse_attachments,
+)
+from crawler_spark.functions.scoring import PARSE_FAILURE_SENTINEL
+
+
+def test_attachment_txt_csv_success_path():
+    t, ok = parse_attachment("https://h/files/a.txt", "hello 한국어 text".encode())
+    assert ok and "첨부 파일 시작: a.txt" in t and "hello" in t and "첨부 파일 끝" in t
+    t, ok = parse_attachment("https://h/files/b.csv", b"x,y\n1,2\n3,4\n")
+    assert ok and "1" in t and "첨부 파일 시작: b.csv" in t
+
+
+def test_attachment_failure_writes_f11_sentinel():
+    # pdf parser library absent in this environment → failure path
+    t, ok = parse_attachment("https://h/files/r.pdf", b"%PDF-1.4 garbage")
+    assert not ok
+    assert PARSE_FAIL_SENTINEL.format(name="r.pdf") in t
+    # the cascade's F11 gate must trip on this block
+    assert PARSE_FAILURE_SENTINEL in t
+
+
+def test_attachment_unknown_extension():
+    t, ok = parse_attachment("https://h/files/a.xyz", b"bytes")
+    assert not ok and t == ""
+
+
+def test_attachment_spark_pipeline(spark):
+    rows = [
+        ("https://h/files/a.txt", bytearray(b"plain text attachment body")),
+        ("https://h/files/b.pdf", bytearray(b"%PDF garbage")),
+        ("https://h/files/c.csv", bytearray(b"a,b\n1,2\n")),
+        ("https://h/files/d.xyz", bytearray(b"??")),
+    ]
+    df = spark.createDataFrame(rows, "url string, payload binary")
+    got = {r["url"]: r for r in parse_attachments(df).collect()}
+    assert got["https://h/files/a.txt"]["ok"] is True
+    assert got["https://h/files/c.csv"]["ok"] is True
+    assert got["https://h/files/b.pdf"]["ok"] is False
+    assert "첨부 파일 처리 실패" in got["https://h/files/b.pdf"]["text_block"]
+    assert got["https://h/files/d.xyz"]["text_block"] == ""
+
+
+# --- hypothesis fuzz ---------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_xxhash64_matches_reference_vectors(data):
+    """Self-consistency: bytes path and str path agree on UTF-8 input,
+    values stay in signed-64 range (JVM-parity is checked against Spark
+    in test_hashing.py; this fuzzes the pure implementation)."""
+    h = xxhash64_bytes(data)
+    assert 0 <= h < 2**64
+    s = data.decode("utf-8", errors="ignore")
+    assert -(2**63) <= xxhash64_str(s) < 2**63
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x2FFF),
+        max_size=30,
+    ),
+    st.sampled_from(["http", "https"]),
+    st.text(alphabet="abcdefghij.-", min_size=1, max_size=20),
+)
+def test_canonicalize_idempotent(path, scheme, host):
+    url = f"{scheme}://{host}/{path}"
+    once = canonicalize(url)
+    assert canonicalize(once) == once  # idempotency
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_clean_chain_total_and_idempotent(text):
+    out = clean_extracted_text(text)
+    assert isinstance(out, str)
+    assert "\n" not in out or all(len(ln) >= 10 for ln in out.split("\n"))
+    # idempotent: cleaning cleaned text is a no-op
+    assert clean_extracted_text(out) == out
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_page_never_raises(data):
+    res = extract_page(data, "https://h.example.org/x", "h.example.org")
+    assert res is None or isinstance(res["text"], str)
