@@ -33,24 +33,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    BinaryType,
-    BooleanType,
-    IntegerType,
-    LongType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import BooleanType, StructField, StructType
 
-FILTERS_SCHEMA = StructType(
-    [
-        StructField("bucket", IntegerType()),
-        StructField("n_items", LongType()),
-        StructField("m_bits", LongType()),
-        StructField("k", IntegerType()),
-        StructField("filter_blob", BinaryType()),
-    ]
-)
+from crawler_spark.schemas import SEEN_FILTERS as FILTERS_SCHEMA
 
 
 def size_filter(expected_items: int, fpr: float) -> tuple[int, int]:

@@ -35,13 +35,20 @@ def anti_join_seen(
 ) -> DataFrame:
     """Rows of ``candidates`` whose (site_id, url_hash) is not in ``seen``.
 
-    Both sides are repartitioned on the same bucket expression so the
-    anti-join shuffles each side once into co-located partitions (the
-    parquet stand-in for a storage-partitioned join).
+    Both sides are repartitioned on ``url_hash`` — a subset of the join
+    keys, which Spark's EnsureRequirements accepts as satisfying the
+    join's ClusteredDistribution on both sides — so the anti-join reuses
+    this single shuffle per side and inserts no further exchange
+    (plan-asserted in tests/test_plans.py). Partitioning on a derived
+    expression like ``pmod(url_hash, B)`` would NOT satisfy the join's
+    required distribution and Spark would re-shuffle both sides on the
+    full key set, wasting the explicit exchange. On a real cluster the
+    same layout is the Iceberg ``bucket(B, url_hash)`` transform feeding
+    a storage-partitioned join.
     """
-    left = candidates.repartition(n_buckets, bucket_col(n_buckets))
+    left = candidates.repartition(n_buckets, F.col("url_hash"))
     right = seen.select("site_id", "url_hash").repartition(
-        n_buckets, bucket_col(n_buckets)
+        n_buckets, F.col("url_hash")
     )
     return left.join(right, ["site_id", "url_hash"], "left_anti")
 

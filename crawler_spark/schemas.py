@@ -91,11 +91,14 @@ SITE_STATS = StructType(
     ]
 )
 
-# Partitioned Bloom-filter blobs (one row per hash bucket).
+# Partitioned Bloom-filter blobs (one row per hash bucket). Single source
+# of truth — operators/bloom.py re-exports this as FILTERS_SCHEMA.
 SEEN_FILTERS = StructType(
     [
         StructField("bucket", IntegerType()),
         StructField("n_items", LongType()),
+        StructField("m_bits", LongType()),
+        StructField("k", IntegerType()),
         StructField("filter_blob", BinaryType()),
     ]
 )

@@ -186,6 +186,24 @@ class CrawlEngine:
         self.cat.stage("kb", kb0, 0)
         self.cat.stage("ledger", ledger0, 0)
         self.cat.stage("site_stats", stats0, 0)
+        if self.config.use_bloom:
+            # Seed keys MUST be in the wave-0 filters: update_filters only
+            # ORs in each wave's new rows, so a missing bootstrap build
+            # would leave seed URLs permanently invisible to the Bloom
+            # prefilter (they'd skip the exact confirm join and re-enter
+            # seen/frontier as duplicates).
+            from crawler_spark.operators.bloom import build_filters
+
+            self.cat.stage(
+                "seen_filters",
+                build_filters(
+                    seen0,
+                    self.config.n_buckets,
+                    self.config.bloom_expected_items,
+                    self.config.bloom_fpr,
+                ),
+                0,
+            )
         self.cat.commit(0)
         self._pages_fetch.count()  # warm the bucketed fetch cache
 

@@ -93,6 +93,52 @@ def test_bloom_incremental_update_matches_rebuild(spark, hash_sets):
     assert sum(counts.values()) == len(seen)
 
 
+def test_crawl_with_bloom_equals_exact_path(spark, corpus, tmp_path_factory):
+    """End-to-end regression for the wave-0 filter-staging bug: bootstrap()
+    must seed the Bloom filters from seen0, otherwise seed URLs are
+    invisible to the prefilter, bypass the exact confirm join, and re-enter
+    seen/frontier as duplicates. The bloom-accelerated crawl must be
+    state-identical to the exact-path crawl, and seen must stay unique."""
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    corpus_dir = corpus["dir"]
+
+    def run(use_bloom, work):
+        eng = CrawlEngine(
+            spark,
+            str(work),
+            pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+            seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"),
+            robots=spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+            config=CrawlConfig(
+                mode="fifo", batch_size=20, metrics=False, use_bloom=use_bloom,
+                n_buckets=N_BUCKETS, bloom_expected_items=20_000,
+            ),
+        )
+        eng.bootstrap()
+        for _ in range(4):
+            eng.run_wave()
+        return eng
+
+    exact = run(False, tmp_path_factory.mktemp("crawl_exact"))
+    fast = run(True, tmp_path_factory.mktemp("crawl_bloom"))
+
+    seen_fast = fast.cat.read("seen")
+    n_rows = seen_fast.count()
+    n_keys = seen_fast.select("site_id", "url_hash").distinct().count()
+    assert n_rows == n_keys  # no duplicate seen entries (the bug's symptom)
+
+    def sig(eng, table, cols):
+        return sorted(tuple(r[c] for c in cols) for r in eng.cat.read(table).collect())
+
+    assert sig(fast, "seen", ["site_id", "url_hash"]) == sig(
+        exact, "seen", ["site_id", "url_hash"]
+    )
+    assert sig(fast, "frontier", ["site_id", "canonical_url", "state", "seq"]) == sig(
+        exact, "frontier", ["site_id", "canonical_url", "state", "seq"]
+    )
+
+
 def test_cuckoo_insert_contains_delete(hash_sets):
     seen, fresh = hash_sets
     f = CuckooFilter(n_slots_log2=14)  # 16384*4 slots for 20k items
