@@ -282,8 +282,129 @@ def scaling() -> None:
         )
 
 
+def growth() -> None:
+    """State-growth evidence: per-wave wall-time must NOT grow with total
+    crawl state (the delta-commit design property).
+
+    Runs the identical fixed-size wave (same batch_size) against
+    frontiers of increasing size. Under full-snapshot state rewrites,
+    per-wave time grows linearly with frontier size (each wave rewrites
+    all accumulated state); under delta commits it stays ~flat — the only
+    size-dependent term left is the read-only pending scan. Also reports
+    the bytes each wave physically wrote for the frontier/seen tables:
+    with bucketed upserts this tracks the wave's delta, not the table.
+    """
+    import shutil
+    import tempfile
+
+    sizes = [
+        int(s)
+        for s in os.environ.get("BENCH_GROWTH_SIZES", "40000,120000,400000").split(",")
+    ]
+    batch = int(os.environ.get("BENCH_GROWTH_BATCH", "2000"))
+    waves = int(os.environ.get("BENCH_GROWTH_WAVES", "3"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    fbuckets = int(os.environ.get("BENCH_GROWTH_FRONTIER_BUCKETS", "512"))
+
+    def wave_write_bytes(workdir: str, w: int) -> int:
+        total = 0
+        for table, prefix in [("frontier", "u"), ("seen", "d")]:
+            d = os.path.join(workdir, table, f"{prefix}{w}")
+            for dirpath, _, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    results = []
+    for n in sizes:
+        d = _corpus(n, 1)
+        spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+        work = tempfile.mkdtemp(prefix=f"growth{n}")
+        try:
+            engine = CrawlEngine(
+                spark,
+                work,
+                pages=spark.read.parquet(f"{d}/pages.parquet"),
+                seeds=spark.read.parquet(f"{d}/seeds.parquet").limit(1),
+                robots=spark.read.parquet(f"{d}/robots.parquet"),
+                config=CrawlConfig(
+                    mode="priority",
+                    batch_size=batch,
+                    wave_seconds=1e6,
+                    same_domain_only=False,
+                    use_bloom=True,
+                    distributed_seq=True,
+                    metrics=False,
+                    frontier_buckets=fbuckets,
+                ),
+            )
+            engine.bootstrap_full_frontier()
+            wave_secs, wave_bytes = [], []
+            for i in range(waves):
+                t0 = time.time()
+                engine.run_wave()
+                wave_secs.append(round(time.time() - t0, 2))
+                wave_bytes.append(wave_write_bytes(work, i + 1))
+            results.append(
+                {
+                    "frontier_rows": n,
+                    "wave_sec": wave_secs,
+                    # skip wave 1 (cache warmup); steady-state per-wave time
+                    "steady_wave_sec": round(
+                        sum(wave_secs[1:]) / max(1, len(wave_secs) - 1), 2
+                    ),
+                    "state_bytes_written_per_wave": wave_bytes,
+                }
+            )
+            print(json.dumps(results[-1]), flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+
+    lo, hi = results[0], results[-1]
+    ratio = round(hi["steady_wave_sec"] / lo["steady_wave_sec"], 2)
+    out = {
+        "metric": "growth_bench",
+        "batch_size": batch,
+        "cpus": cpus,
+        "frontier_buckets": fbuckets,
+        "results": results,
+        "wave_time_ratio_largest_vs_smallest": ratio,
+        "frontier_size_ratio": round(hi["frontier_rows"] / lo["frontier_rows"], 1),
+    }
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/GROWTH.md", "w") as f:
+        f.write(
+            "# State-growth evidence — per-wave cost vs accumulated crawl state\n\n"
+            "Same wave (fixed batch_size={}) against frontiers of growing size;\n"
+            "delta-committed state (bucketed frontier upsert, seen append deltas,\n"
+            "bucket-pruned ledger/seen reads). Under the old full-snapshot commit,\n"
+            "per-wave time scaled ~linearly with frontier size.\n\n"
+            "| frontier rows | wave times (s) | steady wave (s) | frontier+seen bytes written/wave |\n"
+            "|---|---|---|---|\n".format(batch)
+            + "".join(
+                "| {:,} | {} | {} | {} |\n".format(
+                    r["frontier_rows"],
+                    r["wave_sec"],
+                    r["steady_wave_sec"],
+                    [f"{b/1e6:.1f}MB" for b in r["state_bytes_written_per_wave"]],
+                )
+                for r in results
+            )
+            + "\n- frontier size ratio {}x -> steady wave-time ratio **{}x**\n".format(
+                out["frontier_size_ratio"], ratio
+            )
+            + "- config: local[{}], frontier_buckets={}, bloom seen set, "
+            "priority mode\n".format(cpus, fbuckets)
+        )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--growth" in sys.argv:
+        growth()
     else:
         main()

@@ -18,7 +18,7 @@ pandas ``.map`` over Arrow batches is the sanctioned path).
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit, urlunsplit
+from urllib.parse import parse_qs, unquote, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
 from pyspark.sql import Column
@@ -51,6 +51,55 @@ def absolutize(parent: str, href: str) -> str | None:
     if not href or href.startswith("#") or href.startswith("javascript:"):
         return None
     return urljoin(parent, href)
+
+
+def viewer_file_url(url: str, base_url: str) -> str | None:
+    """E7: PDF-viewer ``file=`` query rewrite.
+
+    Reference behavior (src/crawler/data_extractor.py:120-125,
+    ``_get_real_pdf_url_from_viewer``): if the URL's query string carries
+    a ``file`` parameter, the real document URL is
+    ``urljoin(base_url, unquote(file_param))``; otherwise None. Any parse
+    error → None (the link is treated as a normal page link).
+    """
+    try:
+        qs = parse_qs(urlsplit(url).query)
+    except ValueError:
+        return None
+    if "file" in qs and qs["file"]:
+        try:
+            return urljoin(base_url, unquote(qs["file"][0]))
+        except ValueError:
+            return None
+    return None
+
+
+@F.pandas_udf(StringType())
+def viewer_rewrite_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            viewer_file_url(u, b) if u is not None and b is not None else None
+            for u, b in zip(urls, bases)
+        ]
+    )
+
+
+def with_viewer_rewrite(df, url_col: str = "url", base_col: str = "base_url"):
+    """Add ``real_url``: viewer links (query has a ``file`` param) are
+    rewritten to their decoded target, everything else passes through
+    unchanged. Same filter-split shape as :func:`with_canonical_split`:
+    a JVM ``contains('file=')`` guard routes only candidate rows through
+    the Arrow UDF (the guard is a superset — e.g. ``profile=`` — and the
+    UDF's exact ``parse_qs`` check returns None for non-matches, which
+    coalesces back to the original URL)."""
+    url = F.col(url_col)
+    guard = url.contains("file=")
+    plain = df.filter(~guard).withColumn("real_url", url)
+    viewer = df.filter(guard).withColumn(
+        "real_url",
+        F.coalesce(viewer_rewrite_udf(url, F.col(base_col)), url),
+    )
+    return plain.unionByName(viewer)
 
 
 def url_host(url: str) -> str:

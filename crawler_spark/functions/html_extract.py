@@ -307,6 +307,112 @@ def extract_udf(html: pd.Series, url: pd.Series, base_netloc: pd.Series) -> pd.D
     )
 
 
+# --- hybrid-extractor link variant: context snippets -----------------------
+# Re-expresses the reference hybrid extractor's link loop
+# (src/crawler/hybrid_extractor.py:129-171, studied not copied):
+# anchors need >=2 chars of text, URLs are absolutized then
+# fragment-stripped with split('#')[0], only http(s) schemes survive,
+# anchor text is truncated to 100 chars, and each link carries a
+# ``context`` snippet = the parent element's stripped text, first 100
+# chars (_get_link_context). No same-domain filter here — the hybrid
+# extractor defers domain policy to the frontier's validity gate.
+
+
+def _strip_concat_text(node: _Node) -> str:
+    """BeautifulSoup ``get_text(strip=True)`` semantics: every text
+    segment stripped, empties dropped, concatenated with no separator."""
+    parts: list[str] = []
+
+    def walk(n: _Node):
+        for c in n.children:
+            if isinstance(c, str):
+                s = c.strip()
+                if s:
+                    parts.append(s)
+            else:
+                walk(c)
+
+    walk(node)
+    return "".join(parts)
+
+
+def _iter_with_parent(node: _Node):
+    for c in node.children:
+        if isinstance(c, _Node):
+            yield c, node
+            yield from _iter_with_parent(c)
+
+
+def extract_links_hybrid(root: _Node, current_url: str) -> list[dict]:
+    links: list[dict] = []
+    for el, parent in _iter_with_parent(root):
+        if el.tag != "a":
+            continue
+        href = el.attrs.get("href")
+        if not href:
+            continue
+        anchor = _strip_concat_text(el)
+        if len(anchor) < 2:
+            continue
+        try:
+            full = urljoin(current_url, href)
+        except ValueError:
+            continue
+        if urlparse(full).scheme not in ("http", "https"):
+            continue
+        full = full.split("#")[0]
+        context = _strip_concat_text(parent)[:100] if parent is not None else ""
+        links.append({"url": full, "anchor": anchor[:100], "context": context})
+    return links
+
+
+def extract_page_hybrid(html: bytes | str | None, url: str):
+    """Hybrid strategy: selector-priority main content + context-enriched
+    links. None on parse death (same failure contract as extract_page)."""
+    if html is None:
+        return None
+    try:
+        root = parse_html(html)
+        _clean_tree(root)
+        title = extract_title(root, url)
+        links = extract_links_hybrid(root, url)  # before content mutation:
+        # the hybrid extractor pulls links from the full cleaned doc, not
+        # the content-pruned tree (hybrid_extractor.py:129 parses afresh)
+        text = extract_main_content(root)
+        return {
+            "title": title,
+            "text": text,
+            "links": links,
+            "quality_score": content_quality(text),
+        }
+    except Exception:
+        return None
+
+
+def _extracted_ctx_schema():
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    from crawler_spark.schemas import LINK_CTX
+
+    return StructType(
+        [f for f in EXTRACTED.fields if f.name != "links"]
+        + [StructField("links", ArrayType(LINK_CTX))]
+    )
+
+
+@F.pandas_udf(_extracted_ctx_schema())
+def extract_hybrid_udf(html: pd.Series, url: pd.Series, _base: pd.Series) -> pd.DataFrame:
+    rows = [extract_page_hybrid(h, u) for h, u in zip(html, url)]
+    return pd.DataFrame(
+        [
+            r
+            if r is not None
+            else {"title": None, "text": None, "links": None, "quality_score": None}
+            for r in rows
+        ]
+    )
+
+
 # --- E4: link-density-scoring extractor (second strategy) -----------------
 # Re-expresses the reference's alternative extractor
 # (src/crawler/data_extractor_2.py:44-123, bs4-based): score every

@@ -81,6 +81,21 @@ def _parse_pptx(content: bytes) -> str:
     )
 
 
+def _parse_hwp(content: bytes) -> str:
+    # import-guarded like pdf/docx: the reference's target domain
+    # (Korean gov sites) is HWP-heavy (dispatch parity:
+    # src/crawler/data_extractor.py:36-40). Absent lib → ImportError →
+    # the standard failure-sentinel path.
+    import hwp5  # noqa: F401
+
+    from hwp5.hwp5txt import TextTransform
+    from hwp5.xmlmodel import Hwp5File
+
+    out = io.StringIO()
+    TextTransform().transform_hwp5_to_text(Hwp5File(io.BytesIO(content)), out)
+    return out.getvalue()
+
+
 PARSERS = {
     ".txt": _parse_txt,
     ".csv": _parse_csv,
@@ -89,7 +104,46 @@ PARSERS = {
     ".xlsx": _parse_excel,
     ".xls": _parse_excel,
     ".pptx": _parse_pptx,
+    ".hwp": _parse_hwp,
 }
+
+
+# Extensions the dispatch table can parse (keep in sync with PARSERS).
+PARSER_EXT_RE = r"(?i)\.(txt|csv|pdf|docx|xlsx|xls|pptx|hwp)$"
+
+
+def classify_attachment_links(
+    df: DataFrame, url_col: str = "url", base_col: str = "base_url"
+) -> DataFrame:
+    """E9 + E7: split extracted links into attachment candidates vs page
+    links, mirroring the reference's link loop
+    (src/crawler/data_extractor.py:148-161):
+
+    * a link whose query carries ``file=`` is a PDF-viewer wrapper — the
+      attachment URL is the decoded ``file`` target (E7 rewrite), taken
+      unconditionally;
+    * otherwise a link whose path extension is in the parser dispatch
+      table AND whose host matches the site base is an attachment (E9);
+    * everything else is a page link.
+
+    Adds ``attachment_url`` (the URL to fetch — rewritten for viewer
+    links) and ``is_attachment``. Viewer detection runs through the
+    JVM-guarded split of :func:`crawler_spark.canon.with_viewer_rewrite`,
+    so non-``file=`` rows never leave codegen.
+    """
+    from pyspark.sql import functions as F
+
+    from crawler_spark.canon import with_viewer_rewrite
+
+    out = with_viewer_rewrite(df, url_col, base_col)
+    rewritten = F.col("real_url") != F.col(url_col)
+    same_host = F.lower(
+        F.parse_url(F.col(url_col), F.lit("HOST"))
+    ) == F.lower(F.parse_url(F.col(base_col), F.lit("HOST")))
+    ext_hit = F.parse_url(F.col("real_url"), F.lit("PATH")).rlike(PARSER_EXT_RE)
+    return out.withColumn(
+        "is_attachment", rewritten | (ext_hit & same_host)
+    ).withColumnRenamed("real_url", "attachment_url")
 
 
 def attachment_name(url: str) -> str:

@@ -32,17 +32,23 @@ RELEVANCE_THRESHOLD = 0.6  # reference config/settings.py:65
 def run_cascade(
     crawled: DataFrame,
     seeds: DataFrame,
-    wave: int,
+    wave: int | None,
     threshold: float = RELEVANCE_THRESHOLD,
 ) -> dict[str, DataFrame]:
-    """Apply the full gate cascade to one wave's crawled delta.
+    """Apply the full gate cascade to a crawled delta.
+
+    ``wave``: the wave number for this delta, or None to take each row's
+    own ``wave`` column (the streaming worker's micro-batches can span
+    waves — a hardcoded wave would collide packet_ids when a page is
+    re-crawled with changed content in a later wave).
 
     Returns dict with:
       packets   — accepted rows (PACKETS schema)
       rejected  — (site_id, canonical_url, url_hash, reason)
       verdicts  — KB feedback rows (site_id, canonical_url, score, is_failure)
-      ledger_delta — (url_hash, url, content_hash) for accepted rows
+      ledger_delta — (url_hash, url, content_hash, wave) for accepted rows
     """
+    wave_col = (F.lit(wave) if wave is not None else F.col("wave")).cast("int")
     seed_dim = F.broadcast(
         seeds.select("site_id", "site_name", "base_url", "instruction")
     )
@@ -69,9 +75,9 @@ def run_cascade(
     rej_score = s3.filter(F.col("_a.relevance_score") < F.lit(threshold))
 
     packets = accepted.select(
-        F.sha2(F.concat_ws(":", "canonical_url", F.lit(str(wave))), 256).alias(
-            "packet_id"
-        ),
+        F.sha2(
+            F.concat_ws(":", F.col("canonical_url"), wave_col.cast("string")), 256
+        ).alias("packet_id"),
         "site_id",
         "site_name",
         "base_url",
@@ -83,7 +89,7 @@ def run_cascade(
         F.col("_a.language").alias("language"),
         F.col("_a.summary").alias("summary"),
         F.col("_a.keywords").alias("keywords"),
-        F.lit(wave).alias("wave"),
+        wave_col.alias("wave"),
     )
 
     rejected = (
@@ -135,7 +141,10 @@ def run_cascade(
     )
 
     ledger_delta = accepted.select(
-        "url_hash", F.col("canonical_url").alias("url"), "content_hash"
+        "url_hash",
+        F.col("canonical_url").alias("url"),
+        "content_hash",
+        wave_col.alias("wave"),
     )
 
     return {
@@ -147,7 +156,19 @@ def run_cascade(
 
 
 def merge_ledger(ledger: DataFrame, delta: DataFrame) -> DataFrame:
-    """Upsert the processed ledger (last write wins, reference dict-put)."""
+    """Upsert the processed ledger (last write wins, reference dict-put).
+
+    A delta carrying a ``wave`` column may span waves (streaming
+    micro-batches): last-write-wins is then resolved per url_hash by max
+    wave (min-struct-style aggregate, one shuffle) before the upsert, so
+    the ledger never holds two rows for one key.
+    """
+    if "wave" in delta.columns:
+        delta = (
+            delta.groupBy("url_hash")
+            .agg(F.max(F.struct("wave", "url", "content_hash")).alias("_s"))
+            .select("url_hash", "_s.url", "_s.content_hash")
+        )
     return (
         ledger.join(delta.select("url_hash"), "url_hash", "left_anti")
         .unionByName(delta)

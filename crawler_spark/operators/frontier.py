@@ -72,6 +72,31 @@ def apply_kb_gates(pending: DataFrame, kb: DataFrame) -> DataFrame:
     return out
 
 
+def topk_per_group(df: DataFrame, part_cols: list[str], order: list, k_col: str) -> DataFrame:
+    """Exact distributed top-k per group: annotate with the in-group rank
+    ``_rn`` under ``order``, computed WITHOUT sorting whole groups in one
+    partition.
+
+    Phase 1 prunes locally: a window keyed by (spark_partition_id,
+    group) keeps each input partition's top ``k`` — any global top-k row
+    is necessarily in its partition's local top-k, so the prune is
+    lossless. Phase 2 ranks the ≤ n_partitions × k survivors exactly.
+    A single-window rank over a 10^10-row pending frontier would funnel
+    each group (site, or site×host) through ONE reducer — this caps the
+    final sort at n_partitions × k rows regardless of frontier size.
+    Requires a total order (callers tiebreak by the unique ``seq``) and a
+    per-group-constant ``k_col``.
+    """
+    w_local = Window.partitionBy(F.spark_partition_id(), *part_cols).orderBy(*order)
+    pruned = (
+        df.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= F.col(k_col))
+        .drop("_lrn")
+    )
+    w_glob = Window.partitionBy(*part_cols).orderBy(*order)
+    return pruned.withColumn("_rn", F.row_number().over(w_glob))
+
+
 def select_wave_batch_fifo(
     candidates: DataFrame, batch_sizes: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -86,10 +111,11 @@ def select_wave_batch_fifo(
       dropped while collecting that batch (seq < last batch member's seq;
       all gated rows when the queue ran dry before filling the batch).
     """
-    w = Window.partitionBy("site_id").orderBy("seq")
     c = candidates.join(F.broadcast(batch_sizes), "site_id", "left")
 
-    nongated = c.filter(~F.col("kb_gated")).withColumn("rn", F.row_number().over(w))
+    nongated = topk_per_group(
+        c.filter(~F.col("kb_gated")), ["site_id"], [F.asc("seq")], "batch_size"
+    ).withColumnRenamed("_rn", "rn")
     batch = nongated.filter(F.col("rn") <= F.col("batch_size"))
 
     # per-site cutoff: seq of the last popped row; +inf when the queue was
@@ -133,24 +159,27 @@ def select_wave_batch_priority(
     consumed_gated = candidates.filter(F.col("kb_gated"))
     live = candidates.filter(~F.col("kb_gated"))
 
-    host_w = Window.partitionBy("site_id", "host").orderBy(
-        F.desc("score"), F.asc("depth"), F.asc("seq")
-    )
-    ranked = live.join(F.broadcast(host_quota), ["site_id", "host"], "left").withColumn(
-        "host_rn", F.row_number().over(host_w)
-    )
-    within_quota = ranked.filter(
-        F.col("host_rn") <= F.coalesce(F.col("quota"), F.lit(1))
-    )
+    order = [F.desc("score"), F.asc("depth"), F.asc("seq")]
+    ranked = topk_per_group(
+        live.join(F.broadcast(host_quota), ["site_id", "host"], "left").withColumn(
+            "_quota", F.coalesce(F.col("quota"), F.lit(1))
+        ),
+        ["site_id", "host"],
+        order,
+        "_quota",
+    ).withColumnRenamed("_rn", "host_rn")
+    within_quota = ranked.filter(F.col("host_rn") <= F.col("_quota")).drop("_quota")
     if skip_budget_rank:
         return within_quota.drop("host_rn", "quota"), consumed_gated
 
-    site_w = Window.partitionBy("site_id").orderBy(
-        F.desc("score"), F.asc("depth"), F.asc("seq")
-    )
     batch = (
-        within_quota.join(F.broadcast(batch_sizes), "site_id", "left")
-        .withColumn("site_rn", F.row_number().over(site_w))
+        topk_per_group(
+            within_quota.join(F.broadcast(batch_sizes), "site_id", "left"),
+            ["site_id"],
+            order,
+            "batch_size",
+        )
+        .withColumnRenamed("_rn", "site_rn")
         .filter(F.col("site_rn") <= F.col("batch_size"))
         .drop("host_rn", "site_rn", "quota", "batch_size")
     )

@@ -107,37 +107,75 @@ def ann_topk_lsh(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def band_signatures_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42):
+    """Per-row array of ``n_bands`` hyperplane signatures (one LSH hash
+    table per band — the multi-table construction that trades index size
+    for recall, same shape as MinHash banding)."""
+    from pyspark.sql.types import ArrayType
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * bits_per_band)).astype(np.float32)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def fn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vecs.to_numpy())
+        bits = (m @ planes) > 0  # (batch, n_bands*bits_per_band)
+        out = np.zeros((len(vecs), n_bands), dtype=np.int32)
+        for band in range(n_bands):
+            for b in range(bits_per_band):
+                out[:, band] |= bits[:, band * bits_per_band + b].astype(
+                    np.int32
+                ) << b
+        return pd.Series(list(out))
+
+    return fn
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_bits: int = 10,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold, candidate-limited to shared LSH
-    buckets (high-cosine pairs almost surely share all hyperplane signs;
-    the self-join never goes quadratic in the corpus)."""
+    """Pairs with cosine ≥ threshold, candidate-limited to pairs sharing
+    at least one LSH band (banded random-hyperplane signatures — the
+    multi-hash-table construction, so the self-join is an equi-join on
+    (band, signature) and never goes quadratic in the corpus).
+
+    Tuning: a pair at angle θ shares one b-bit band with probability
+    (1−θ/π)^b, and survives n bands with 1−(1−(1−θ/π)^b)^n. Production
+    near-dup thresholds (≥0.9 cosine) prune hard with few wide bands
+    (e.g. 4×16 bits); low-threshold regimes need many narrow bands
+    (e.g. 16×2 bits) to keep recall — at which point pruning is modest,
+    as it must be: near-orthogonal 'duplicates' are not LSH-friendly.
+    Exact cosine is recomputed on candidates, so precision is always 1.
+    """
     first = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(first["v"])
-    sig_udf = hyperplane_signature_udf(dim, n_bits, seed)
+    sig_udf = band_signatures_udf(dim, n_bands, bits_per_band, seed)
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        sig_udf(F.col(vec_col)).alias("sig"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
     )
-    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "sig")
-    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "sig")
+    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "sig")
+    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "sig")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     return (
-        a.join(b, "sig")
+        a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates([ "id_a", "id_b"])  # a pair may share several bands
         .withColumn("cosine", F.round(dot / (na * nb), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

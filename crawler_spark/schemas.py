@@ -84,10 +84,13 @@ SEEN = StructType(
 )
 
 # Per-site crawl progress (drives the max_pages stop condition, Q4).
+# max_seq carries the per-site frontier seq high-water mark so seq
+# assignment never needs a full-frontier aggregate per wave.
 SITE_STATS = StructType(
     [
         StructField("site_id", StringType()),
         StructField("scanned", LongType()),
+        StructField("max_seq", LongType()),
     ]
 )
 
@@ -105,6 +108,16 @@ SEEN_FILTERS = StructType(
 
 LINK = StructType(
     [StructField("url", StringType()), StructField("anchor", StringType())]
+)
+
+# Hybrid-extractor link shape: adds the 100-char parent-text context
+# snippet (reference hybrid_extractor.py:129-171).
+LINK_CTX = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("anchor", StringType()),
+        StructField("context", StringType()),
+    ]
 )
 
 # Extraction output (reference ExtractionResult shape,

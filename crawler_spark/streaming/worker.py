@@ -25,7 +25,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark import schemas
-from crawler_spark.operators.cascade import run_cascade
+from crawler_spark.operators.cascade import merge_ledger, run_cascade
+from crawler_spark.operators.kb import merge_kb, wave_kb_delta
+from crawler_spark.tableio import BUCKET_REPLACE, REPLACE, TableCatalog
+
+
+def make_feedback_catalog(
+    spark: SparkSession, state_dir: str, n_buckets: int = 32
+) -> TableCatalog:
+    """The streaming worker's own kb/ledger state store (same MERGE
+    semantics as the batch engine's tables, committed per micro-batch).
+    Kept separate from a crawl engine's catalog: the streaming commit
+    counter is the micro-batch id, not a wave number."""
+    cat = TableCatalog(spark, state_dir)
+    cat.register("kb", REPLACE)
+    cat.register("ledger", BUCKET_REPLACE, n_buckets=n_buckets)
+    return cat
 
 
 def start_stream_cascade(
@@ -36,6 +51,7 @@ def start_stream_cascade(
     checkpoint_dir: str,
     trigger: dict | None = None,
     threshold: float = 0.6,
+    feedback_catalog: TableCatalog | None = None,
 ):
     """Start the streaming cascade; returns the StreamingQuery.
 
@@ -43,6 +59,12 @@ def start_stream_cascade(
     ``out_dir``: packets/rejected parquet sinks are written under it.
     ``trigger``: e.g. {"processingTime": "15 seconds"} or
     {"availableNow": True} (default, drain-and-stop).
+    ``feedback_catalog``: optional state store (make_feedback_catalog)
+    that receives the KB MERGE + ledger upsert per micro-batch —
+    state-equivalent to the batch cascade's kb/ledger feedback
+    (reference worker behavior, llm_processing_worker.py:97-123).
+    Exactly-once: a replayed micro-batch restages the same batch_id dirs
+    and repoints the same checkpoint entries (idempotent).
     """
     stream = (
         spark.readStream.schema(schemas.CRAWLED)
@@ -56,7 +78,10 @@ def start_stream_cascade(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = run_cascade(batch_df, seeds, wave=0, threshold=threshold)
+        # wave=None: each row keys packets/ledger by its own wave column
+        # (micro-batches can span waves; a hardcoded wave would collide
+        # packet_ids on re-crawled pages)
+        out = run_cascade(batch_df, seeds, wave=None, threshold=threshold)
         # per-batch atomic appends; batch_id keys make retries idempotent
         out["packets"].withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
@@ -64,6 +89,28 @@ def start_stream_cascade(
         out["rejected"].withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(f"{out_dir}/rejected")
+        if feedback_catalog is not None:
+            cat = feedback_catalog
+            kb_next = merge_kb(
+                cat.read("kb", schemas.KB), wave_kb_delta(out["verdicts"])
+            )
+            delta = out["ledger_delta"].persist()
+            n_b = cat.tables["ledger"].n_buckets
+            l_buckets = sorted(
+                r["_b"]
+                for r in delta.select(
+                    F.pmod("url_hash", F.lit(n_b)).cast("int").alias("_b")
+                )
+                .distinct()
+                .collect()
+            )
+            ledger_next = merge_ledger(
+                cat.read_buckets("ledger", l_buckets, schemas.LEDGER), delta
+            )
+            cat.stage("kb", kb_next, batch_id)
+            cat.stage("ledger", ledger_next, batch_id, touched=l_buckets)
+            cat.commit(batch_id)
+            delta.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

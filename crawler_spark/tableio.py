@@ -1,21 +1,42 @@
 """Versioned table storage with atomic per-wave commits.
 
 The production design is Iceberg: every engine table is an Iceberg table
-partitioned by ``bucket(N, url_hash)`` (frontier/seen) or ``wave``
+partitioned by ``bucket(N, url_hash)`` (frontier/seen/ledger) or ``wave``
 (crawled/packets/metrics), one atomic transaction set per wave, resume =
 read the last committed snapshot set. This sandbox ships no Iceberg jars
 and no network (SURVEY §7), so this module provides the same
-commit/snapshot semantics over parquet + a JSON manifest:
+commit/snapshot/MERGE semantics over parquet + a JSON manifest.
 
-* each logical table lives under ``{root}/{name}/`` as immutable
-  ``v{N}`` parquet snapshot dirs (full-replace tables) or ``d{wave}``
-  delta dirs (append tables);
-* a checkpoint file ``{root}/_checkpoint.json`` maps the committed wave
-  to the exact snapshot/delta set, written via write-temp + atomic
-  ``os.replace`` — a crash mid-wave leaves the previous checkpoint
-  intact, so resume-from-checkpoint is exact (north-rule requirement);
-* reading a table always goes through the checkpoint, so a half-written
-  wave is invisible (snapshot isolation per wave).
+Four table modes, chosen so that **per-wave write cost is proportional
+to the wave's delta, never to accumulated crawl state** (the 100×-scale
+requirement — a full-snapshot rewrite of a 10^10-row seen set per wave
+would rewrite TBs to add a delta):
+
+* ``REPLACE`` — genuinely-small whole tables (kb, site_stats): immutable
+  ``v{wave}`` snapshot dirs, last one wins.
+* ``APPEND`` — event logs (crawled, packets, metrics): immutable
+  ``d{wave}`` delta dirs, read = union.
+* ``BUCKET_APPEND`` — append-only keyed state (seen): each wave's delta
+  is written hash-partitioned into ``d{wave}/_b={k}`` subdirs by
+  ``pmod(url_hash, B)``; read = union of all committed deltas,
+  ``read_buckets`` prunes to the buckets a join actually probes. This is
+  the parquet stand-in for appending to an Iceberg table with a
+  ``bucket(B, url_hash)`` partition transform.
+* ``BUCKET_REPLACE`` — mutable keyed state (frontier, ledger,
+  seen_filters): the checkpoint maps each bucket to its current version
+  dir; an upsert stages new contents for only the *touched* buckets and
+  the commit repoints just those map entries (Iceberg's
+  copy-on-write MERGE at partition granularity). Untouched buckets are
+  neither read nor rewritten.
+
+Commit protocol: a checkpoint file ``{root}/_checkpoint.json`` maps the
+committed wave to the exact snapshot/delta/bucket set, written via
+write-temp + atomic ``os.replace`` — a crash mid-wave leaves the
+previous checkpoint intact, so resume-from-checkpoint is exact
+(north-rule requirement). Reading always goes through the checkpoint, so
+a half-written wave is invisible (snapshot isolation per wave). After a
+successful commit, bucket/snapshot dirs no longer referenced by the new
+checkpoint are vacuumed (disable with ``SPARK_GRAFT_KEEP_VERSIONS=1``).
 
 Writing also serves as per-wave lineage truncation: each wave's outputs
 are materialized and read back, so the iterative driver loop never grows
@@ -32,18 +53,29 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-REPLACE = "replace"  # full-snapshot tables: frontier, seen, kb, ledger
-APPEND = "append"    # delta tables: crawled, packets, rejected, metrics
+REPLACE = "replace"              # small whole tables: kb, site_stats
+APPEND = "append"                # delta logs: crawled, packets, metrics
+BUCKET_APPEND = "bucket_append"  # append-only keyed state: seen
+BUCKET_REPLACE = "bucket_replace"  # mutable keyed state: frontier, ledger
+
+
+@dataclass
+class _Spec:
+    mode: str
+    n_buckets: int | None = None
+    bucket_key: str = "url_hash"   # column the bucket id derives from
+    key_is_bucket: bool = False    # True: bucket_key already IS the bucket id
 
 
 @dataclass
 class TableCatalog:
     spark: SparkSession
     root: str
-    tables: dict[str, str] = field(default_factory=dict)  # name -> mode
-    _pending: dict[str, str] = field(default_factory=dict)
+    tables: dict[str, _Spec] = field(default_factory=dict)
+    _pending: dict[str, dict] = field(default_factory=dict)
     _state: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -60,41 +92,108 @@ class TableCatalog:
         p = self._ckpt_path()
         if os.path.exists(p):
             with open(p) as f:
-                return json.load(f)
-        return {"wave": -1, "snapshots": {}, "deltas": {}, "committed_at": None}
+                st = json.load(f)
+            st.setdefault("buckets", {})
+            return st
+        return {
+            "wave": -1,
+            "snapshots": {},
+            "deltas": {},
+            "buckets": {},
+            "committed_at": None,
+        }
 
     @property
     def committed_wave(self) -> int:
         return self._state["wave"]
 
-    def register(self, name: str, mode: str) -> None:
-        assert mode in (REPLACE, APPEND)
-        self.tables[name] = mode
+    def register(
+        self,
+        name: str,
+        mode: str,
+        n_buckets: int | None = None,
+        bucket_key: str = "url_hash",
+        key_is_bucket: bool = False,
+    ) -> None:
+        assert mode in (REPLACE, APPEND, BUCKET_APPEND, BUCKET_REPLACE)
+        if mode in (BUCKET_APPEND, BUCKET_REPLACE) and not key_is_bucket:
+            assert n_buckets, f"{name}: bucketed mode needs n_buckets"
+        self.tables[name] = _Spec(mode, n_buckets, bucket_key, key_is_bucket)
 
     # -- staging -------------------------------------------------------
 
-    def stage(self, name: str, df: DataFrame, wave: int) -> None:
-        """Write a table's new snapshot/delta for ``wave`` (not yet visible)."""
-        mode = self.tables[name]
-        if mode == REPLACE:
-            rel = f"{name}/v{wave}"
-        else:
-            rel = f"{name}/d{wave}"
+    def _bucket_expr(self, spec: _Spec):
+        col = F.col(spec.bucket_key)
+        if spec.key_is_bucket:
+            return col.cast("int")
+        return F.pmod(col, F.lit(spec.n_buckets)).cast("int")
+
+    def _write_bucketed(self, df: DataFrame, spec: _Spec, path: str) -> None:
+        # One shuffle on the bucket id so each bucket's rows land in one
+        # task → one file per touched bucket dir (the Iceberg
+        # bucket-transform layout). The partition column is a *copy*
+        # (``_b``) so the data files keep the original key columns.
+        out = df.withColumn("_b", self._bucket_expr(spec))
+        out.repartition(F.col("_b")).write.partitionBy("_b").mode(
+            "overwrite"
+        ).parquet(path)
+
+    def stage(
+        self, name: str, df: DataFrame, wave: int, touched: list[int] | None = None
+    ) -> None:
+        """Write a table's new snapshot/delta for ``wave`` (not yet visible).
+
+        ``touched`` (BUCKET_REPLACE only): the bucket ids whose contents
+        ``df`` fully replaces; ``None`` means a full rewrite (bootstrap).
+        """
+        spec = self.tables[name]
+        prefix = "d" if spec.mode in (APPEND, BUCKET_APPEND) else (
+            "u" if spec.mode == BUCKET_REPLACE else "v"
+        )
+        rel = f"{name}/{prefix}{wave}"
         path = os.path.join(self.root, rel)
         if os.path.exists(path):
             shutil.rmtree(path)  # stale leftover from a crashed wave
-        df.write.mode("overwrite").parquet(path)
+        if spec.mode in (BUCKET_APPEND, BUCKET_REPLACE):
+            self._write_bucketed(df, spec, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         with self._lock:
-            self._pending[name] = rel
+            self._pending[name] = {"rel": rel, "touched": touched}
+
+    def _leaf_buckets(self, rel: str) -> dict[int, str]:
+        """bucket id -> leaf rel-path for a bucketed dir (fs discovery)."""
+        path = os.path.join(self.root, rel)
+        out: dict[int, str] = {}
+        if os.path.isdir(path):
+            for d in os.listdir(path):
+                if d.startswith("_b="):
+                    out[int(d.split("=", 1)[1])] = f"{rel}/{d}"
+        return out
 
     def commit(self, wave: int) -> None:
         """Atomically publish every staged table as wave ``wave``."""
         new_state = json.loads(json.dumps(self._state))
-        for name, rel in self._pending.items():
-            if self.tables[name] == REPLACE:
-                new_state["snapshots"][name] = rel
-            else:
-                new_state["deltas"].setdefault(name, []).append(rel)
+        for name, p in self._pending.items():
+            mode = self.tables[name].mode
+            if mode == REPLACE:
+                new_state["snapshots"][name] = p["rel"]
+            elif mode in (APPEND, BUCKET_APPEND):
+                new_state["deltas"].setdefault(name, []).append(p["rel"])
+            else:  # BUCKET_REPLACE: repoint only the touched bucket entries
+                found = self._leaf_buckets(p["rel"])
+                bmap = new_state["buckets"].setdefault(name, {})
+                touched = p["touched"]
+                if touched is None:
+                    new_state["buckets"][name] = {
+                        str(k): leaf for k, leaf in found.items()
+                    }
+                else:
+                    for k in touched:
+                        if k in found:
+                            bmap[str(k)] = found[k]
+                        else:
+                            bmap.pop(str(k), None)  # bucket emptied
         new_state["wave"] = wave
         new_state["committed_at"] = time.time()
         tmp = self._ckpt_path() + ".tmp"
@@ -103,22 +202,126 @@ class TableCatalog:
         os.replace(tmp, self._ckpt_path())  # the atomic commit point
         self._state = new_state
         self._pending = {}
+        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
+            self._vacuum()
+
+    def _vacuum(self) -> None:
+        """Delete version dirs the committed checkpoint no longer references.
+
+        Only REPLACE snapshots and BUCKET_REPLACE bucket leaves are ever
+        dereferenced; append deltas stay referenced forever. Safe because
+        every stage job of the wave has finished (stage() is synchronous)
+        and readers always resolve paths through the fresh checkpoint.
+        """
+        for name, spec in self.tables.items():
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            if spec.mode == REPLACE:
+                keep = self._state["snapshots"].get(name)
+                for d in os.listdir(tdir):
+                    rel = f"{name}/{d}"
+                    if d.startswith("v") and rel != keep:
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+            elif spec.mode == BUCKET_REPLACE:
+                keep_leaves = set(self._state["buckets"].get(name, {}).values())
+                for d in os.listdir(tdir):
+                    if not d.startswith("u"):
+                        continue
+                    udir = os.path.join(tdir, d)
+                    for leaf in os.listdir(udir):
+                        rel = f"{name}/{d}/{leaf}"
+                        if leaf.startswith("_b=") and rel not in keep_leaves:
+                            shutil.rmtree(
+                                os.path.join(udir, leaf), ignore_errors=True
+                            )
+                    if not any(e.startswith("_b=") for e in os.listdir(udir)):
+                        shutil.rmtree(udir, ignore_errors=True)
 
     # -- reads ---------------------------------------------------------
 
-    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
-        """Read the committed state of a table (empty DF if never written)."""
-        mode = self.tables[name]
-        if mode == REPLACE:
+    def _paths(self, name: str) -> list[str]:
+        spec = self.tables[name]
+        if spec.mode == REPLACE:
             rel = self._state["snapshots"].get(name)
             rels = [rel] if rel else []
-        else:
+        elif spec.mode == APPEND:
             rels = self._state["deltas"].get(name, [])
-        if not rels:
+        elif spec.mode == BUCKET_APPEND:
+            rels = [
+                leaf
+                for drel in self._state["deltas"].get(name, [])
+                for leaf in sorted(self._leaf_buckets(drel).values())
+            ]
+        else:  # BUCKET_REPLACE
+            rels = sorted(set(self._state["buckets"].get(name, {}).values()))
+        return [os.path.join(self.root, r) for r in rels]
+
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        """Read the committed state of a table (empty DF if never written)."""
+        paths = self._paths(name)
+        if not paths:
             assert schema is not None, f"no committed data and no schema for {name}"
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.root, r) for r in rels]
         return self.spark.read.parquet(*paths)
+
+    def read_buckets(
+        self, name: str, buckets: list[int], schema: StructType | None = None
+    ) -> DataFrame:
+        """Read only the given buckets of a bucketed table — the partition
+        pruning an Iceberg bucket-transform scan would do, so per-wave
+        reads of keyed state touch only the buckets the wave probes."""
+        spec = self.tables[name]
+        want = set(buckets)
+        if spec.mode == BUCKET_APPEND:
+            rels = [
+                leaf
+                for drel in self._state["deltas"].get(name, [])
+                for k, leaf in sorted(self._leaf_buckets(drel).items())
+                if k in want
+            ]
+        elif spec.mode == BUCKET_REPLACE:
+            bmap = self._state["buckets"].get(name, {})
+            rels = [bmap[str(k)] for k in sorted(want) if str(k) in bmap]
+        else:
+            raise ValueError(f"{name} is not a bucketed table")
+        if not rels:
+            assert schema is not None, f"no committed buckets and no schema for {name}"
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, name: str) -> None:
+        """Coalesce a BUCKET_APPEND table's delta dirs into one (the
+        Iceberg compaction stand-in). Bounds file-listing cost after many
+        waves; amortized when called every K waves. Crash-safe: the
+        consolidated dir is fully written before the checkpoint repoints
+        to it (same write-temp + os.replace protocol as commit)."""
+        spec = self.tables[name]
+        assert spec.mode == BUCKET_APPEND, f"{name}: compact needs BUCKET_APPEND"
+        rels = self._state["deltas"].get(name, [])
+        if len(rels) <= 1:
+            return
+        df = self.read(name)
+        rel = f"{name}/c{self._state['wave']}"
+        path = os.path.join(self.root, rel)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._write_bucketed(df, spec, path)
+        new_state = json.loads(json.dumps(self._state))
+        new_state["deltas"][name] = [rel]
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_state, f, indent=1)
+        os.replace(tmp, self._ckpt_path())
+        self._state = new_state
+        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
+            keep = set(new_state["deltas"][name])
+            tdir = os.path.join(self.root, name)
+            for d in os.listdir(tdir):
+                if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.canon import canonicalize_udf, with_canonical_split
-from crawler_spark.functions.html_extract import extract_density_udf, extract_udf
+from crawler_spark.functions.html_extract import (
+    extract_density_udf,
+    extract_hybrid_udf,
+    extract_udf,
+)
 from crawler_spark.functions.urlfns import content_hash, is_valid_url
 from crawler_spark.operators.cascade import merge_ledger, run_cascade
 from crawler_spark.operators.frontier import (
@@ -49,7 +53,13 @@ from crawler_spark.operators.bloom import (
     update_filters,
 )
 from crawler_spark.operators.seen import anti_join_seen, dedup_in_wave
-from crawler_spark.tableio import APPEND, REPLACE, TableCatalog
+from crawler_spark.tableio import (
+    APPEND,
+    BUCKET_APPEND,
+    BUCKET_REPLACE,
+    REPLACE,
+    TableCatalog,
+)
 
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
 
@@ -92,9 +102,19 @@ class CrawlConfig:
     # two-phase distributed seq assignment (no single-partition sort);
     # bit-identical to the Window path, used for huge waves
     distributed_seq: bool = False
-    # extraction strategy: 'selector' (HP extractor parity, E1-E6) or
-    # 'density' (link-density scoring variant, E4)
+    # extraction strategy: 'selector' (HP extractor parity, E1-E6),
+    # 'density' (link-density scoring variant, E4), or 'hybrid'
+    # (selector content + context-enriched links, hybrid_extractor.py)
     extractor: str = "selector"
+    # bucket count for the frontier's partitioned upsert. At 10^10 rows
+    # this is sized so one bucket is ~a few hundred MB (thousands of
+    # buckets); per-wave cost is then touched-buckets × bucket size, not
+    # total frontier size. None → n_buckets.
+    frontier_buckets: int | None = None
+    # every K waves, coalesce the seen table's per-wave delta dirs into
+    # one (Iceberg compaction stand-in; bounds file-listing cost).
+    # 0 = never.
+    compact_every: int = 0
 
 
 class CrawlEngine:
@@ -131,14 +151,25 @@ class CrawlEngine:
             .persist()
         )
 
+        # State tables are delta-committed: per-wave write cost scales
+        # with the wave's delta, never with accumulated crawl state.
+        # * seen is append-only by construction → BUCKET_APPEND deltas;
+        # * frontier/ledger mutate rows → BUCKET_REPLACE upserts that
+        #   rewrite only the touched url_hash buckets;
+        # * seen_filters blobs are keyed by bucket id directly;
+        # * kb/site_stats are genuinely small → full snapshots.
+        B = self.config.n_buckets
+        Bf = self.config.frontier_buckets or B
         cat = TableCatalog(spark, workdir)
+        cat.register("frontier", BUCKET_REPLACE, n_buckets=Bf)
+        cat.register("seen", BUCKET_APPEND, n_buckets=B)
+        cat.register("ledger", BUCKET_REPLACE, n_buckets=B)
+        cat.register(
+            "seen_filters", BUCKET_REPLACE, bucket_key="bucket", key_is_bucket=True
+        )
         for name, mode in [
-            ("frontier", REPLACE),
-            ("seen", REPLACE),
             ("kb", REPLACE),
-            ("ledger", REPLACE),
             ("site_stats", REPLACE),
-            ("seen_filters", REPLACE),
             ("crawled", APPEND),
             ("packets", APPEND),
             ("rejected", APPEND),
@@ -146,6 +177,7 @@ class CrawlEngine:
         ]:
             cat.register(name, mode)
         self.cat = cat
+        self._Bf = Bf
 
     # -- bootstrap -------------------------------------------------------
 
@@ -179,7 +211,11 @@ class CrawlEngine:
             if self._ledger_seed is not None
             else self.spark.createDataFrame([], schemas.LEDGER)
         )
-        stats0 = seeds.select("site_id", F.lit(0).cast("long").alias("scanned"))
+        stats0 = seeds.select(
+            "site_id",
+            F.lit(0).cast("long").alias("scanned"),
+            F.lit(1).cast("long").alias("max_seq"),  # one seed per site → seq 1
+        )
 
         self.cat.stage("frontier", frontier0, 0)
         self.cat.stage("seen", seen0, 0)
@@ -239,15 +275,25 @@ class CrawlEngine:
         seen0 = frontier0.select(
             "site_id", "url_hash", "canonical_url", F.lit(0).alias("discovered_wave")
         )
+        frontier0 = frontier0.persist()
         self.cat.stage("frontier", frontier0, 0)
         self.cat.stage("seen", seen0, 0)
         self.cat.stage("kb", self.spark.createDataFrame([], schemas.KB), 0)
         self.cat.stage("ledger", self.spark.createDataFrame([], schemas.LEDGER), 0)
         self.cat.stage(
             "site_stats",
-            self.seeds_df.select("site_id", F.lit(0).cast("long").alias("scanned")),
+            self.seeds_df.select("site_id", F.lit(0).cast("long").alias("scanned"))
+            .join(
+                frontier0.groupBy("site_id").agg(F.max("seq").alias("max_seq")),
+                "site_id",
+                "left",
+            )
+            .select(
+                "site_id", "scanned", F.coalesce("max_seq", F.lit(0)).alias("max_seq")
+            ),
             0,
         )
+        frontier0.unpersist()
         if self.config.use_bloom:
             from crawler_spark.operators.bloom import build_filters
 
@@ -294,6 +340,19 @@ class CrawlEngine:
             ).alias("batch_size"),
         )
 
+    def _buckets_of(self, df: DataFrame, n_buckets: int) -> list[int]:
+        """Distinct url_hash bucket ids present in ``df`` (driver-side,
+        bounded by n_buckets rows — the partition-pruning predicate for
+        read_buckets / the touched-bucket list for upserts)."""
+        rows = (
+            df.select(
+                F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("_b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["_b"] for r in rows)
+
     def _metric(self, frames: list, wave: int, stage: str, df: DataFrame):
         if not self.config.metrics:
             return
@@ -315,11 +374,12 @@ class CrawlEngine:
         cfg = self.config
         cat = self.cat
 
-        frontier = cat.read("frontier")
-        seen = cat.read("seen", schemas.SEEN)
+        frontier = cat.read("frontier", schemas.FRONTIER)
         kb = cat.read("kb", schemas.KB)
-        ledger = cat.read("ledger", schemas.LEDGER)
         stats = cat.read("site_stats", schemas.SITE_STATS)
+        # seen and ledger are NOT read whole: the wave later reads only
+        # the url_hash buckets its candidates/batch actually probe
+        # (read_buckets — the Iceberg bucket-partition pruning).
 
         active = (
             stats.join(self.seeds_df.select("site_id", "max_pages"), "site_id")
@@ -391,7 +451,10 @@ class CrawlEngine:
         # CPU-heavy UDF of partitions).
         seed_dim = self._seed_dim()
         fetched = fetched.join(seed_dim, "site_id", "left")
-        ex_udf = extract_density_udf if cfg.extractor == "density" else extract_udf
+        ex_udf = {
+            "density": extract_density_udf,
+            "hybrid": extract_hybrid_udf,
+        }.get(cfg.extractor, extract_udf)
         ex = fetched.withColumn(
             "ex",
             F.when(
@@ -407,7 +470,13 @@ class CrawlEngine:
         nonempty = ok.filter(F.length(F.col("ex.text")) > 0)
 
         # --- ledger change check (F8) ---------------------------------------
-        led = ledger.select("url_hash", F.col("content_hash").alias("_old_hash"))
+        # The batch probes only its own url_hash buckets of the ledger —
+        # bucket-pruned read, so the lookup cost tracks the batch size,
+        # not the total number of pages ever processed.
+        batch_buckets = self._buckets_of(batch, cfg.n_buckets)
+        led = cat.read_buckets("ledger", batch_buckets, schemas.LEDGER).select(
+            "url_hash", F.col("content_hash").alias("_old_hash")
+        )
         checked = nonempty.withColumn(
             "content_hash", content_hash(F.col("ex.text"))
         ).join(led, "url_hash", "left")
@@ -464,13 +533,20 @@ class CrawlEngine:
             .withColumn("host", F.lower(F.parse_url("canonical_url", F.lit("HOST"))))
         )
         deduped = dedup_in_wave(valid).persist()
+        # Read only the seen buckets the candidates can possibly match
+        # (same-bucket-iff-same-hash) — the anti-join's right side scales
+        # with the wave's candidate spread, not the full seen set.
+        cand_buckets = self._buckets_of(deduped, cfg.n_buckets)
+        seen_sub = cat.read_buckets("seen", cand_buckets, schemas.SEEN)
         if cfg.use_bloom:
             filters = cat.read("seen_filters", FILTERS_SCHEMA)
-            fresh = bloom_anti_join_seen(deduped, seen, filters, cfg.n_buckets)
+            fresh = bloom_anti_join_seen(deduped, seen_sub, filters, cfg.n_buckets)
         else:
-            fresh = anti_join_seen(deduped, seen, cfg.n_buckets)
+            fresh = anti_join_seen(deduped, seen_sub, cfg.n_buckets)
 
-        max_seq = frontier.groupBy("site_id").agg(F.max("seq").alias("_max_seq"))
+        # per-site seq high-water mark carried in site_stats — no
+        # full-frontier aggregate per wave
+        max_seq = stats.select("site_id", F.col("max_seq").alias("_max_seq"))
         new_rows = assign_seq(
             fresh, max_seq, distributed=cfg.distributed_seq, n_parts=cfg.n_buckets
         ).select(
@@ -535,39 +611,62 @@ class CrawlEngine:
                 .withColumn("state", F.lit("robots_blocked"))
                 .withColumn("processed_wave", F.lit(w))
             )
-        touched = outcome.select("site_id", "url_hash")
-        frontier_next = (
-            frontier.join(touched, ["site_id", "url_hash"], "left_anti")
-            .unionByName(outcome.select(*FRONTIER_COLS))
-            .unionByName(new_rows)
+        # Partitioned upsert: only the url_hash buckets holding a state
+        # change (consumed rows + newly discovered rows) are read back and
+        # rewritten; every other frontier bucket's files are untouched
+        # this wave. Per-wave frontier I/O is therefore proportional to
+        # the wave's delta × bucket granularity — never to total frontier
+        # size (the 100×-scale fix for the full-snapshot rewrite).
+        upsert_rows = (
+            outcome.select(*FRONTIER_COLS).unionByName(new_rows).persist()
         )
+        f_buckets = self._buckets_of(upsert_rows, self._Bf)
+        old_touched = cat.read_buckets("frontier", f_buckets, schemas.FRONTIER)
+        frontier_next = old_touched.join(
+            upsert_rows.select("site_id", "url_hash"),
+            ["site_id", "url_hash"],
+            "left_anti",
+        ).unionByName(upsert_rows)
 
-        seen_next = seen.unionByName(
-            new_rows.select(
-                "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
-            )
+        # seen is append-only: stage just this wave's delta
+        seen_delta = new_rows.select(
+            "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
         )
+        s_buckets = self._buckets_of(new_rows, cfg.n_buckets)
 
         scanned_delta = nonempty.groupBy("site_id").agg(
             F.count("*").alias("_d")
         )
+        new_seq = new_rows.groupBy("site_id").agg(F.max("seq").alias("_new_max"))
         stats_next = (
             stats.join(scanned_delta, "site_id", "left")
+            .join(new_seq, "site_id", "left")
             .select(
                 "site_id",
                 (F.col("scanned") + F.coalesce("_d", F.lit(0))).alias("scanned"),
+                F.greatest(
+                    F.col("max_seq"), F.coalesce("_new_max", F.lit(0))
+                ).alias("max_seq"),
             )
         )
 
         # --- cascade (phase-2 worker) -----------------------------------------
-        kb_next, ledger_next = kb, ledger
+        kb_next = kb
+        ledger_next = None
+        l_buckets: list[int] = []
         cascade_out = None
         if cfg.cascade:
             cascade_out = run_cascade(
                 crawled_delta, self.seeds_df, w, cfg.relevance_threshold
             )
             kb_next = merge_kb(kb, wave_kb_delta(cascade_out["verdicts"]))
-            ledger_next = merge_ledger(ledger, cascade_out["ledger_delta"])
+            # ledger MERGE at bucket granularity: only buckets holding an
+            # accepted page this wave are read + rewritten
+            ledger_delta = cascade_out["ledger_delta"].persist()
+            l_buckets = self._buckets_of(ledger_delta, cfg.n_buckets)
+            ledger_next = merge_ledger(
+                cat.read_buckets("ledger", l_buckets, schemas.LEDGER), ledger_delta
+            )
 
         # --- metrics + commit ---------------------------------------------------
         mframes: list[DataFrame] = []
@@ -578,48 +677,51 @@ class CrawlEngine:
         self._metric(mframes, w, "discovered", fresh)
 
         # Stage all tables concurrently: every shared input (batch/ex/
-        # changed/new_rows) is already materialized in the block cache, so
-        # the writes are independent Spark jobs — submitting them from
-        # threads overlaps scheduling and parquet I/O, cutting fixed
-        # per-wave overhead. State tables go through one explicit
-        # repartition on url_hash (at cluster scale: the bucket(url_hash)
-        # layout the seen anti-join co-partitions on).
-        stage_jobs: list[tuple[str, DataFrame]] = [
-            ("frontier", frontier_next.repartition(cfg.n_buckets, F.col("url_hash"))),
-            ("seen", seen_next.repartition(cfg.n_buckets, F.col("url_hash"))),
-            ("site_stats", stats_next),
-            ("crawled", crawled_delta),
+        # changed/new_rows/upsert_rows) is already materialized in the
+        # block cache, so the writes are independent Spark jobs —
+        # submitting them from threads overlaps scheduling and parquet
+        # I/O, cutting fixed per-wave overhead. Bucketed tables are
+        # hash-laid-out by the catalog (bucket(url_hash) — the layout the
+        # seen anti-join co-partitions on); frontier/ledger stage only
+        # their touched buckets, seen stages only this wave's delta.
+        stage_jobs: list[tuple[str, DataFrame, list[int] | None]] = [
+            ("frontier", frontier_next, f_buckets),
+            ("seen", seen_delta, None),
+            ("site_stats", stats_next, None),
+            ("crawled", crawled_delta, None),
         ]
-        if cfg.use_bloom:
+        if cfg.use_bloom and s_buckets:
+            # only the blobs of buckets that gained keys are rewritten
             filters_next = update_filters(
-                cat.read("seen_filters", FILTERS_SCHEMA),
+                filters.filter(F.col("bucket").isin(s_buckets)),
                 new_rows.select("url_hash"),
                 cfg.n_buckets,
                 cfg.bloom_expected_items,
                 cfg.bloom_fpr,
             )
-            stage_jobs.append(("seen_filters", filters_next))
+            stage_jobs.append(("seen_filters", filters_next, s_buckets))
         if cascade_out is not None:
             # kb/ledger change only when the cascade ran; otherwise the
             # previous snapshots stay current (no pointless rewrite)
             stage_jobs += [
-                ("kb", kb_next),
-                ("ledger", ledger_next),
-                ("packets", cascade_out["packets"]),
-                ("rejected", cascade_out["rejected"].withColumn("wave", F.lit(w))),
+                ("kb", kb_next, None),
+                ("ledger", ledger_next, l_buckets),
+                ("packets", cascade_out["packets"], None),
+                ("rejected", cascade_out["rejected"].withColumn("wave", F.lit(w)), None),
             ]
         if mframes:
             allm = mframes[0]
             for m in mframes[1:]:
                 allm = allm.unionByName(m)
-            stage_jobs.append(("metrics", allm))
+            stage_jobs.append(("metrics", allm, None))
 
         with _T("stage.all"):
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=4) as pool:
                 for fu in [
-                    pool.submit(cat.stage, name, df, w) for name, df in stage_jobs
+                    pool.submit(cat.stage, name, df, w, touched)
+                    for name, df, touched in stage_jobs
                 ]:
                     fu.result()
 
@@ -627,11 +729,17 @@ class CrawlEngine:
             n_fetched = nonempty.count()
         with _T("commit"):
             cat.commit(w)
+        if cfg.compact_every and w % cfg.compact_every == 0:
+            with _T("compact.seen"):
+                cat.compact("seen")
         batch.unpersist()
         ex.unpersist()
         changed.unpersist()
         deduped.unpersist()
         new_rows.unpersist()
+        upsert_rows.unpersist()
+        if cascade_out is not None:
+            ledger_delta.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
     def _finish_wave_no_batch(self, w, frontier, gated, blocked_keys):
@@ -645,12 +753,15 @@ class CrawlEngine:
                 .withColumn("state", F.lit("robots_blocked"))
                 .withColumn("processed_wave", F.lit(w))
             )
-        touched = outcome.select("site_id", "url_hash")
-        frontier_next = frontier.join(
-            touched, ["site_id", "url_hash"], "left_anti"
-        ).unionByName(outcome)
-        self.cat.stage("frontier", frontier_next, w)
+        outcome = outcome.persist()
+        f_buckets = self._buckets_of(outcome, self._Bf)
+        old_touched = self.cat.read_buckets("frontier", f_buckets, schemas.FRONTIER)
+        frontier_next = old_touched.join(
+            outcome.select("site_id", "url_hash"), ["site_id", "url_hash"], "left_anti"
+        ).unionByName(outcome.select(*FRONTIER_COLS))
+        self.cat.stage("frontier", frontier_next, w, touched=f_buckets)
         self.cat.commit(w)
+        outcome.unpersist()
 
     # -- full run ---------------------------------------------------------
 

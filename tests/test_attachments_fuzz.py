@@ -38,6 +38,60 @@ def test_attachment_unknown_extension():
     assert not ok and t == ""
 
 
+def test_hwp_routed_to_failure_sentinel_in_sandbox():
+    """E8 parity: .hwp IS in the dispatch table (reference
+    data_extractor.py:36-40); with hwp5 absent here, the parser raises
+    and the standard sentinel path fires (not the unknown-ext path)."""
+    from crawler_spark.operators.attachments import PARSERS
+
+    assert ".hwp" in PARSERS
+    t, ok = parse_attachment("https://h/files/공문.hwp", b"\xd0\xcf\x11\xe0 fake-hwp")
+    assert not ok
+    assert PARSE_FAIL_SENTINEL.format(name="공문.hwp") in t
+
+
+def test_viewer_file_rewrite_pure():
+    """E7: parse_qs → unquote → urljoin semantics of the reference's
+    _get_real_pdf_url_from_viewer (data_extractor.py:120-125)."""
+    from crawler_spark.canon import viewer_file_url
+
+    base = "https://gov.example.org/board/"
+    u = "https://gov.example.org/viewer/pdfjs.html?file=%2Ffiles%2F공고.pdf"
+    assert viewer_file_url(u, base) == "https://gov.example.org/files/공고.pdf"
+    # relative file param resolves against the SITE base url
+    u2 = "https://gov.example.org/viewer/web/viewer.html?file=doc%2Fa.pdf"
+    assert viewer_file_url(u2, base) == "https://gov.example.org/board/doc/a.pdf"
+    # no file param → None (normal page link)
+    assert viewer_file_url("https://gov.example.org/page?id=3", base) is None
+    # 'profile=' must not trigger (exact-key semantics)
+    assert viewer_file_url("https://gov.example.org/p?profile=x", base) is None
+
+
+def test_classify_attachment_links_spark(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.attachments import classify_attachment_links
+
+    base = "https://gov.example.org/"
+    rows = [
+        ("https://gov.example.org/viewer.html?file=%2Ffiles%2Fa.pdf", base),  # E7
+        ("https://gov.example.org/files/b.hwp", base),                         # E9
+        ("https://cdn.other.org/files/c.pdf", base),        # ext but cross-host
+        ("https://gov.example.org/board/list?page=2", base),  # page link
+        ("https://gov.example.org/p?profile=xyz", base),      # guard superset
+    ]
+    df = spark.createDataFrame(rows, "url string, base_url string")
+    got = {
+        r["url"]: (r["is_attachment"], r["attachment_url"])
+        for r in classify_attachment_links(df).collect()
+    }
+    assert got[rows[0][0]] == (True, "https://gov.example.org/files/a.pdf")
+    assert got[rows[1][0]] == (True, rows[1][0])
+    assert got[rows[2][0]][0] is False
+    assert got[rows[3][0]][0] is False
+    assert got[rows[4][0]] == (False, rows[4][0])
+
+
 def test_attachment_spark_pipeline(spark):
     rows = [
         ("https://h/files/a.txt", bytearray(b"plain text attachment body")),

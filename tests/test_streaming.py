@@ -49,6 +49,73 @@ def test_stream_cascade_matches_batch(spark, corpus, tmp_path_factory):
     assert got == exp and len(got) > 0
 
 
+def test_stream_feedback_state_equals_batch(spark, corpus, tmp_path_factory):
+    """KB MERGE + ledger upsert in foreachBatch must be state-equivalent
+    to folding the batch cascade wave-by-wave over the same crawled
+    deltas (reference worker updates KB per verdict,
+    llm_processing_worker.py:97-123)."""
+    from crawler_spark.operators.cascade import merge_ledger
+    from crawler_spark.operators.kb import merge_kb, wave_kb_delta
+    from crawler_spark.streaming.worker import make_feedback_catalog
+    from crawler_spark import schemas
+
+    d = corpus["dir"]
+    work = tmp_path_factory.mktemp("stream_crawl3")
+    engine = CrawlEngine(
+        spark, str(work),
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        config=CrawlConfig(mode="fifo", batch_size=20, metrics=False),
+    )
+    engine.bootstrap()
+    for _ in range(3):
+        engine.run_wave()
+    seeds = spark.read.parquet(f"{d}/seeds.parquet")
+
+    # streaming side: drain with a feedback catalog attached
+    out = tmp_path_factory.mktemp("stream_out3")
+    ckpt = tmp_path_factory.mktemp("stream_ckpt3")
+    state = tmp_path_factory.mktemp("stream_state3")
+    cat = make_feedback_catalog(spark, str(state), n_buckets=8)
+    q = start_stream_cascade(
+        spark, str(work / "crawled"), seeds, str(out), str(ckpt),
+        trigger={"availableNow": True}, feedback_catalog=cat,
+    )
+    q.awaitTermination(timeout=300)
+
+    # batch side: fold the cascade + merges wave by wave
+    crawled = engine.cat.read("crawled")
+    waves = sorted(r["wave"] for r in crawled.select("wave").distinct().collect())
+    kb = spark.createDataFrame([], schemas.KB)
+    ledger = spark.createDataFrame([], schemas.LEDGER)
+    for w in waves:
+        o = run_cascade(crawled.filter(F.col("wave") == w), seeds, wave=w)
+        kb = merge_kb(kb, wave_kb_delta(o["verdicts"]))
+        ledger = merge_ledger(ledger, o["ledger_delta"])
+
+    def kb_sig(df):
+        return sorted(
+            (r["site_id"], r["pattern"], round(r["total_score"], 6), r["count"],
+             r["avg_score"], r["failure_count"])
+            for r in df.collect()
+        )
+
+    def led_sig(df):
+        return sorted(
+            (r["url_hash"], r["url"], r["content_hash"]) for r in df.collect()
+        )
+
+    assert kb_sig(cat.read("kb", schemas.KB)) == kb_sig(kb)
+    assert led_sig(cat.read("ledger", schemas.LEDGER)) == led_sig(ledger)
+    assert cat.read("ledger", schemas.LEDGER).count() > 0
+
+    # packet wave column derives from the rows, not a hardcoded 0
+    pk = spark.read.parquet(f"{out}/packets")
+    pk_waves = {r["wave"] for r in pk.select("wave").distinct().collect()}
+    assert pk_waves <= set(waves)
+    assert max(pk_waves) > 0  # wave 2/3 packets keep their real wave id
+
+
 def test_stream_cascade_incremental_pickup(spark, corpus, tmp_path_factory):
     """New deltas arriving between restarts are processed exactly once."""
     d = corpus["dir"]
