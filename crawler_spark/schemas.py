@@ -157,6 +157,12 @@ LEDGER = StructType(
     ]
 )
 
+# Ledger stored as a merge-on-read log: append-only versions keyed by
+# wave; reads resolve latest-wave-per-url_hash (Iceberg MOR semantics).
+LEDGER_LOG = StructType(
+    LEDGER.fields + [StructField("wave", IntegerType())]
+)
+
 # Knowledge base (reference: knowledge_base/<site>_kb.json shape).
 KB = StructType(
     [

@@ -292,18 +292,24 @@ class TableCatalog:
 
     # -- maintenance ---------------------------------------------------
 
-    def compact(self, name: str) -> None:
+    def compact(self, name: str, resolver=None) -> None:
         """Coalesce a BUCKET_APPEND table's delta dirs into one (the
         Iceberg compaction stand-in). Bounds file-listing cost after many
-        waves; amortized when called every K waves. Crash-safe: the
-        consolidated dir is fully written before the checkpoint repoints
-        to it (same write-temp + os.replace protocol as commit)."""
+        waves; amortized when called every K waves. ``resolver`` (df →
+        df) lets merge-on-read logs drop superseded row versions during
+        compaction — afterwards the log IS the resolved state, so the
+        read-side resolution becomes a no-op until new deltas land.
+        Crash-safe: the consolidated dir is fully written before the
+        checkpoint repoints to it (same write-temp + os.replace protocol
+        as commit)."""
         spec = self.tables[name]
         assert spec.mode == BUCKET_APPEND, f"{name}: compact needs BUCKET_APPEND"
         rels = self._state["deltas"].get(name, [])
         if len(rels) <= 1:
             return
         df = self.read(name)
+        if resolver is not None:
+            df = resolver(df)
         rel = f"{name}/c{self._state['wave']}"
         path = os.path.join(self.root, rel)
         if os.path.exists(path):

@@ -36,7 +36,7 @@ from crawler_spark.functions.html_extract import (
     extract_udf,
 )
 from crawler_spark.functions.urlfns import content_hash, is_valid_url
-from crawler_spark.operators.cascade import merge_ledger, run_cascade
+from crawler_spark.operators.cascade import run_cascade
 from crawler_spark.operators.frontier import (
     FIFO,
     PRIORITY,
@@ -62,6 +62,27 @@ from crawler_spark.tableio import (
 )
 
 FRONTIER_COLS = [f.name for f in schemas.FRONTIER.fields]
+
+
+def resolve_frontier(log: DataFrame) -> DataFrame:
+    """Current frontier state from the merge-on-read log: a key's
+    terminal version (consumed rows transition exactly once) wins over
+    its pending version; keys with only a pending version are live.
+    After a resolved compaction this is a no-op by construction."""
+    terminal = log.filter(F.col("state") != "pending")
+    live = log.filter(F.col("state") == "pending").join(
+        terminal.select("site_id", "url_hash"), ["site_id", "url_hash"], "left_anti"
+    )
+    return terminal.unionByName(live)
+
+
+def resolve_ledger(log: DataFrame) -> DataFrame:
+    """Latest ledger version per url_hash (max wave wins) → LEDGER shape."""
+    return (
+        log.groupBy("url_hash")
+        .agg(F.max(F.struct("wave", "url", "content_hash")).alias("_s"))
+        .select("url_hash", "_s.url", "_s.content_hash")
+    )
 
 _PROFILE = os.environ.get("SPARK_GRAFT_PROFILE", "0") != "0"
 _PROFILE_DEEP = os.environ.get("SPARK_GRAFT_PROFILE") == "2"
@@ -151,19 +172,29 @@ class CrawlEngine:
             .persist()
         )
 
-        # State tables are delta-committed: per-wave write cost scales
-        # with the wave's delta, never with accumulated crawl state.
+        # State tables are delta-committed: per-wave WRITE cost scales
+        # with the wave's delta, never with accumulated crawl state
+        # (Iceberg merge-on-read semantics over bucketed parquet):
         # * seen is append-only by construction → BUCKET_APPEND deltas;
-        # * frontier/ledger mutate rows → BUCKET_REPLACE upserts that
-        #   rewrite only the touched url_hash buckets;
-        # * seen_filters blobs are keyed by bucket id directly;
+        # * frontier rows transition exactly once (pending → terminal),
+        #   so the frontier is an append-only LOG: each wave appends the
+        #   terminal versions of consumed rows + newly discovered pending
+        #   rows; reads resolve pending = pending-version anti-join
+        #   terminal-keys. A bucket-REPLACE upsert would still rewrite
+        #   min(k, B) × bucket-size bytes per wave (random hash keys
+        #   touch ~every bucket), i.e. O(frontier) write amplification —
+        #   the log append is O(delta). Compaction (compact_every)
+        #   rewrites the log resolved, bounding read-side growth;
+        # * ledger versions are keyed by wave → MOR log, latest wins;
+        # * seen_filters blobs are fixed-size per bucket → per-bucket
+        #   replace of only the blobs that gained keys;
         # * kb/site_stats are genuinely small → full snapshots.
         B = self.config.n_buckets
         Bf = self.config.frontier_buckets or B
         cat = TableCatalog(spark, workdir)
-        cat.register("frontier", BUCKET_REPLACE, n_buckets=Bf)
+        cat.register("frontier", BUCKET_APPEND, n_buckets=Bf)
         cat.register("seen", BUCKET_APPEND, n_buckets=B)
-        cat.register("ledger", BUCKET_REPLACE, n_buckets=B)
+        cat.register("ledger", BUCKET_APPEND, n_buckets=B)
         cat.register(
             "seen_filters", BUCKET_REPLACE, bucket_key="bucket", key_is_bucket=True
         )
@@ -207,9 +238,9 @@ class CrawlEngine:
         )
         kb0 = self._kb_seed if self._kb_seed is not None else self.spark.createDataFrame([], schemas.KB)
         ledger0 = (
-            self._ledger_seed
+            self._ledger_seed.withColumn("wave", F.lit(0))
             if self._ledger_seed is not None
-            else self.spark.createDataFrame([], schemas.LEDGER)
+            else self.spark.createDataFrame([], schemas.LEDGER_LOG)
         )
         stats0 = seeds.select(
             "site_id",
@@ -279,7 +310,7 @@ class CrawlEngine:
         self.cat.stage("frontier", frontier0, 0)
         self.cat.stage("seen", seen0, 0)
         self.cat.stage("kb", self.spark.createDataFrame([], schemas.KB), 0)
-        self.cat.stage("ledger", self.spark.createDataFrame([], schemas.LEDGER), 0)
+        self.cat.stage("ledger", self.spark.createDataFrame([], schemas.LEDGER_LOG), 0)
         self.cat.stage(
             "site_stats",
             self.seeds_df.select("site_id", F.lit(0).cast("long").alias("scanned"))
@@ -374,7 +405,7 @@ class CrawlEngine:
         cfg = self.config
         cat = self.cat
 
-        frontier = cat.read("frontier", schemas.FRONTIER)
+        frontier_log = cat.read("frontier", schemas.FRONTIER)
         kb = cat.read("kb", schemas.KB)
         stats = cat.read("site_stats", schemas.SITE_STATS)
         # seen and ledger are NOT read whole: the wave later reads only
@@ -386,8 +417,16 @@ class CrawlEngine:
             .filter(F.col("scanned") < F.col("max_pages"))
             .select("site_id")
         )
-        pending = frontier.filter(F.col("state") == "pending").join(
-            F.broadcast(active), "site_id"
+        # merge-on-read pending view: pending-version rows not superseded
+        # by a terminal version (read-side anti-join; resolved compaction
+        # keeps the superseded fraction bounded)
+        consumed_keys = frontier_log.filter(
+            F.col("state") != "pending"
+        ).select("site_id", "url_hash")
+        pending = (
+            frontier_log.filter(F.col("state") == "pending")
+            .join(consumed_keys, ["site_id", "url_hash"], "left_anti")
+            .join(F.broadcast(active), "site_id")
         )
         with _T("pending.count"):
             n_pending = pending.count()
@@ -420,7 +459,7 @@ class CrawlEngine:
             n_batch = batch.count()
         if n_batch == 0:
             # everything pending was gated: consume it and commit the wave
-            self._finish_wave_no_batch(w, frontier, gated, blocked_keys)
+            self._finish_wave_no_batch(w, pending, gated, blocked_keys)
             return {"wave": w, "done": False, "fetched": 0, "batch": 0}
 
         # --- fetch (simulated web: lookup in the pages table) ------------
@@ -474,9 +513,9 @@ class CrawlEngine:
         # bucket-pruned read, so the lookup cost tracks the batch size,
         # not the total number of pages ever processed.
         batch_buckets = self._buckets_of(batch, cfg.n_buckets)
-        led = cat.read_buckets("ledger", batch_buckets, schemas.LEDGER).select(
-            "url_hash", F.col("content_hash").alias("_old_hash")
-        )
+        led = resolve_ledger(
+            cat.read_buckets("ledger", batch_buckets, schemas.LEDGER_LOG)
+        ).select("url_hash", F.col("content_hash").alias("_old_hash"))
         checked = nonempty.withColumn(
             "content_hash", content_hash(F.col("ex.text"))
         ).join(led, "url_hash", "left")
@@ -605,28 +644,20 @@ class CrawlEngine:
             )
         ).withColumn("processed_wave", F.lit(w))
         if blocked_keys is not None:
-            blocked_rows = frontier.join(blocked_keys, ["site_id", "url_hash"])
+            blocked_rows = pending.join(blocked_keys, ["site_id", "url_hash"])
             outcome = outcome.unionByName(
                 blocked_rows.select(*FRONTIER_COLS)
                 .withColumn("state", F.lit("robots_blocked"))
                 .withColumn("processed_wave", F.lit(w))
             )
-        # Partitioned upsert: only the url_hash buckets holding a state
-        # change (consumed rows + newly discovered rows) are read back and
-        # rewritten; every other frontier bucket's files are untouched
-        # this wave. Per-wave frontier I/O is therefore proportional to
-        # the wave's delta × bucket granularity — never to total frontier
-        # size (the 100×-scale fix for the full-snapshot rewrite).
-        upsert_rows = (
+        # Frontier log append: this wave's delta is exactly the terminal
+        # versions of consumed rows + the newly discovered pending rows.
+        # Nothing is read back, nothing existing is rewritten — per-wave
+        # frontier WRITE cost is O(delta) regardless of frontier size
+        # (the 100×-scale fix for the full-snapshot rewrite).
+        frontier_delta = (
             outcome.select(*FRONTIER_COLS).unionByName(new_rows).persist()
         )
-        f_buckets = self._buckets_of(upsert_rows, self._Bf)
-        old_touched = cat.read_buckets("frontier", f_buckets, schemas.FRONTIER)
-        frontier_next = old_touched.join(
-            upsert_rows.select("site_id", "url_hash"),
-            ["site_id", "url_hash"],
-            "left_anti",
-        ).unionByName(upsert_rows)
 
         # seen is append-only: stage just this wave's delta
         seen_delta = new_rows.select(
@@ -652,21 +683,14 @@ class CrawlEngine:
 
         # --- cascade (phase-2 worker) -----------------------------------------
         kb_next = kb
-        ledger_next = None
-        l_buckets: list[int] = []
         cascade_out = None
         if cfg.cascade:
             cascade_out = run_cascade(
                 crawled_delta, self.seeds_df, w, cfg.relevance_threshold
             )
             kb_next = merge_kb(kb, wave_kb_delta(cascade_out["verdicts"]))
-            # ledger MERGE at bucket granularity: only buckets holding an
-            # accepted page this wave are read + rewritten
-            ledger_delta = cascade_out["ledger_delta"].persist()
-            l_buckets = self._buckets_of(ledger_delta, cfg.n_buckets)
-            ledger_next = merge_ledger(
-                cat.read_buckets("ledger", l_buckets, schemas.LEDGER), ledger_delta
-            )
+            # ledger is a MOR log: append this wave's versions, resolution
+            # (max wave per key) happens on the bucket-pruned read
 
         # --- metrics + commit ---------------------------------------------------
         mframes: list[DataFrame] = []
@@ -677,15 +701,15 @@ class CrawlEngine:
         self._metric(mframes, w, "discovered", fresh)
 
         # Stage all tables concurrently: every shared input (batch/ex/
-        # changed/new_rows/upsert_rows) is already materialized in the
+        # changed/new_rows/frontier_delta) is already materialized in the
         # block cache, so the writes are independent Spark jobs —
         # submitting them from threads overlaps scheduling and parquet
         # I/O, cutting fixed per-wave overhead. Bucketed tables are
         # hash-laid-out by the catalog (bucket(url_hash) — the layout the
-        # seen anti-join co-partitions on); frontier/ledger stage only
-        # their touched buckets, seen stages only this wave's delta.
+        # seen anti-join co-partitions on); frontier/seen/ledger stage
+        # only this wave's deltas.
         stage_jobs: list[tuple[str, DataFrame, list[int] | None]] = [
-            ("frontier", frontier_next, f_buckets),
+            ("frontier", frontier_delta, None),
             ("seen", seen_delta, None),
             ("site_stats", stats_next, None),
             ("crawled", crawled_delta, None),
@@ -705,7 +729,7 @@ class CrawlEngine:
             # previous snapshots stay current (no pointless rewrite)
             stage_jobs += [
                 ("kb", kb_next, None),
-                ("ledger", ledger_next, l_buckets),
+                ("ledger", cascade_out["ledger_delta"], None),
                 ("packets", cascade_out["packets"], None),
                 ("rejected", cascade_out["rejected"].withColumn("wave", F.lit(w)), None),
             ]
@@ -730,38 +754,51 @@ class CrawlEngine:
         with _T("commit"):
             cat.commit(w)
         if cfg.compact_every and w % cfg.compact_every == 0:
-            with _T("compact.seen"):
+            # Iceberg maintenance stand-in: coalesce delta stacks; the
+            # MOR logs are rewritten RESOLVED (superseded versions drop)
+            with _T("compact"):
                 cat.compact("seen")
+                cat.compact("frontier", resolver=resolve_frontier)
+                if cfg.cascade:
+                    cat.compact(
+                        "ledger",
+                        resolver=lambda log: resolve_ledger(log).withColumn(
+                            "wave", F.lit(w)
+                        ),
+                    )
         batch.unpersist()
         ex.unpersist()
         changed.unpersist()
         deduped.unpersist()
         new_rows.unpersist()
-        upsert_rows.unpersist()
-        if cascade_out is not None:
-            ledger_delta.unpersist()
+        frontier_delta.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
-    def _finish_wave_no_batch(self, w, frontier, gated, blocked_keys):
+    def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):
+        """All pending rows were gated/blocked: append their terminal
+        versions to the frontier log and commit the wave."""
         outcome = gated.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("gated_kb")
         ).withColumn("processed_wave", F.lit(w))
         if blocked_keys is not None:
-            blocked_rows = frontier.join(blocked_keys, ["site_id", "url_hash"])
+            blocked_rows = pending.join(blocked_keys, ["site_id", "url_hash"])
             outcome = outcome.unionByName(
                 blocked_rows.select(*FRONTIER_COLS)
                 .withColumn("state", F.lit("robots_blocked"))
                 .withColumn("processed_wave", F.lit(w))
             )
-        outcome = outcome.persist()
-        f_buckets = self._buckets_of(outcome, self._Bf)
-        old_touched = self.cat.read_buckets("frontier", f_buckets, schemas.FRONTIER)
-        frontier_next = old_touched.join(
-            outcome.select("site_id", "url_hash"), ["site_id", "url_hash"], "left_anti"
-        ).unionByName(outcome.select(*FRONTIER_COLS))
-        self.cat.stage("frontier", frontier_next, w, touched=f_buckets)
+        self.cat.stage("frontier", outcome.select(*FRONTIER_COLS), w)
         self.cat.commit(w)
-        outcome.unpersist()
+
+    # -- resolved views ----------------------------------------------------
+
+    def frontier_view(self) -> DataFrame:
+        """Current frontier state (merge-on-read resolution of the log)."""
+        return resolve_frontier(self.cat.read("frontier", schemas.FRONTIER))
+
+    def ledger_view(self) -> DataFrame:
+        """Current ledger state (latest version per url_hash)."""
+        return resolve_ledger(self.cat.read("ledger", schemas.LEDGER_LOG))
 
     # -- full run ---------------------------------------------------------
 

@@ -149,7 +149,7 @@ def test_kb_feedback_matches_oracle(cascade_run):
 def test_ledger_updated_for_accepted(cascade_run, corpus):
     engine, (accepted, _, _) = cascade_run
     pages = load_pages(corpus["dir"])
-    ledger = {r["url"]: r["content_hash"] for r in engine.cat.read("ledger").collect()}
+    ledger = {r["url"]: r["content_hash"] for r in engine.ledger_view().collect()}
     for (_site, url) in accepted:
         expect = hashlib.sha256(pages[url].encode("utf-8")).hexdigest()
         assert ledger.get(url) == expect
