@@ -304,7 +304,6 @@ def growth() -> None:
     batch = int(os.environ.get("BENCH_GROWTH_BATCH", "2000"))
     waves = int(os.environ.get("BENCH_GROWTH_WAVES", "3"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
-    fbuckets = int(os.environ.get("BENCH_GROWTH_FRONTIER_BUCKETS", "512"))
 
     def wave_write_bytes(workdir: str, w: int) -> int:
         total = 0
@@ -336,7 +335,6 @@ def growth() -> None:
                     use_bloom=True,
                     distributed_seq=True,
                     metrics=False,
-                    frontier_buckets=fbuckets,
                 ),
             )
             engine.bootstrap_full_frontier()
@@ -368,7 +366,6 @@ def growth() -> None:
         "metric": "growth_bench",
         "batch_size": batch,
         "cpus": cpus,
-        "frontier_buckets": fbuckets,
         "results": results,
         "wave_time_ratio_largest_vs_smallest": ratio,
         "frontier_size_ratio": round(hi["frontier_rows"] / lo["frontier_rows"], 1),
@@ -396,8 +393,8 @@ def growth() -> None:
             + "\n- frontier size ratio {}x -> steady wave-time ratio **{}x**\n".format(
                 out["frontier_size_ratio"], ratio
             )
-            + "- config: local[{}], frontier_buckets={}, bloom seen set, "
-            "priority mode\n".format(cpus, fbuckets)
+            + "- config: local[{}], bloom seen set, priority mode, "
+            "append-log state commits\n".format(cpus)
         )
 
 

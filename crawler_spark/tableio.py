@@ -303,7 +303,7 @@ class TableCatalog:
         checkpoint repoints to it (same write-temp + os.replace protocol
         as commit)."""
         spec = self.tables[name]
-        assert spec.mode == BUCKET_APPEND, f"{name}: compact needs BUCKET_APPEND"
+        assert spec.mode in (APPEND, BUCKET_APPEND), f"{name}: compact needs an append mode"
         rels = self._state["deltas"].get(name, [])
         if len(rels) <= 1:
             return
@@ -314,7 +314,10 @@ class TableCatalog:
         path = os.path.join(self.root, rel)
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._write_bucketed(df, spec, path)
+        if spec.mode == BUCKET_APPEND:
+            self._write_bucketed(df, spec, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         new_state = json.loads(json.dumps(self._state))
         new_state["deltas"][name] = [rel]
         tmp = self._ckpt_path() + ".tmp"

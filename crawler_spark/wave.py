@@ -127,14 +127,9 @@ class CrawlConfig:
     # 'density' (link-density scoring variant, E4), or 'hybrid'
     # (selector content + context-enriched links, hybrid_extractor.py)
     extractor: str = "selector"
-    # bucket count for the frontier's partitioned upsert. At 10^10 rows
-    # this is sized so one bucket is ~a few hundred MB (thousands of
-    # buckets); per-wave cost is then touched-buckets × bucket size, not
-    # total frontier size. None → n_buckets.
-    frontier_buckets: int | None = None
-    # every K waves, coalesce the seen table's per-wave delta dirs into
-    # one (Iceberg compaction stand-in; bounds file-listing cost).
-    # 0 = never.
+    # every K waves, coalesce each state log's per-wave delta dirs into
+    # one resolved dir (Iceberg compaction stand-in; bounds file-listing
+    # cost and the superseded-row fraction). 0 = never.
     compact_every: int = 0
 
 
@@ -189,10 +184,14 @@ class CrawlEngine:
         # * seen_filters blobs are fixed-size per bucket → per-bucket
         #   replace of only the blobs that gained keys;
         # * kb/site_stats are genuinely small → full snapshots.
+        # The frontier log is a PLAIN append table: nothing bucket-prunes
+        # it (reads are full pending scans), so bucket-partitioned deltas
+        # would only explode file counts (~B tiny files per wave) for no
+        # pruning benefit. seen/ledger DO get bucket-pruned reads → their
+        # deltas keep the bucket(url_hash) layout.
         B = self.config.n_buckets
-        Bf = self.config.frontier_buckets or B
         cat = TableCatalog(spark, workdir)
-        cat.register("frontier", BUCKET_APPEND, n_buckets=Bf)
+        cat.register("frontier", APPEND)
         cat.register("seen", BUCKET_APPEND, n_buckets=B)
         cat.register("ledger", BUCKET_APPEND, n_buckets=B)
         cat.register(
@@ -208,7 +207,6 @@ class CrawlEngine:
         ]:
             cat.register(name, mode)
         self.cat = cat
-        self._Bf = Bf
 
     # -- bootstrap -------------------------------------------------------
 
@@ -617,7 +615,7 @@ class CrawlEngine:
             with _T("deep.fresh.count"):
                 fresh.count()
         with _T("new_rows.count"):
-            new_rows.count()  # materialize once: staged 3x (frontier/seen/bloom)
+            n_new = new_rows.count()  # materialize once: staged 3x
 
         # --- frontier / seen / stats updates ---------------------------------
         outcome = (
@@ -659,11 +657,12 @@ class CrawlEngine:
             outcome.select(*FRONTIER_COLS).unionByName(new_rows).persist()
         )
 
-        # seen is append-only: stage just this wave's delta
+        # seen is append-only: stage just this wave's delta (elided
+        # entirely on waves that discovered nothing new)
         seen_delta = new_rows.select(
             "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
         )
-        s_buckets = self._buckets_of(new_rows, cfg.n_buckets)
+        s_buckets = self._buckets_of(new_rows, cfg.n_buckets) if n_new else []
 
         scanned_delta = nonempty.groupBy("site_id").agg(
             F.count("*").alias("_d")
@@ -710,10 +709,11 @@ class CrawlEngine:
         # only this wave's deltas.
         stage_jobs: list[tuple[str, DataFrame, list[int] | None]] = [
             ("frontier", frontier_delta, None),
-            ("seen", seen_delta, None),
             ("site_stats", stats_next, None),
             ("crawled", crawled_delta, None),
         ]
+        if n_new:
+            stage_jobs.append(("seen", seen_delta, None))
         if cfg.use_bloom and s_buckets:
             # only the blobs of buckets that gained keys are rewritten
             filters_next = update_filters(
