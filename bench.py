@@ -195,7 +195,11 @@ def scaling() -> None:
     rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     _corpus(n_pages, page_scale)  # generate once before timing anything
 
-    levels = sorted({n_lo, 8, n_hi, 32})
+    levels = sorted(
+        {int(x) for x in os.environ["BENCH_LEVELS"].split(",")}
+        if os.environ.get("BENCH_LEVELS")
+        else {n_lo, 8, n_hi, 32}
+    )
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for cpus in levels:

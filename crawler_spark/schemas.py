@@ -85,12 +85,15 @@ SEEN = StructType(
 
 # Per-site crawl progress (drives the max_pages stop condition, Q4).
 # max_seq carries the per-site frontier seq high-water mark so seq
-# assignment never needs a full-frontier aggregate per wave.
+# assignment never needs a full-frontier aggregate per wave; n_pending
+# is the live pending-row count (discovered − consumed) so the per-wave
+# done/skip-budget checks never need a full pending scan+count job.
 SITE_STATS = StructType(
     [
         StructField("site_id", StringType()),
         StructField("scanned", LongType()),
         StructField("max_seq", LongType()),
+        StructField("n_pending", LongType()),
     ]
 )
 

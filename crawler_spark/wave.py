@@ -244,6 +244,7 @@ class CrawlEngine:
             "site_id",
             F.lit(0).cast("long").alias("scanned"),
             F.lit(1).cast("long").alias("max_seq"),  # one seed per site → seq 1
+            F.lit(1).cast("long").alias("n_pending"),
         )
 
         self.cat.stage("frontier", frontier0, 0)
@@ -296,11 +297,35 @@ class CrawlEngine:
             F.lit(0).cast("long").alias("parent_seq"),
             F.lit(0).alias("link_idx"),
             F.lit("pending").alias("state"),
+        ).persist()
+        # Distributed two-phase global url rank (the single-site constant
+        # would fold a plain Window's partition away → one-reducer sort of
+        # the whole frontier). For scheme://host/path URLs, ordering by
+        # (host, url) equals ordering by url as long as no host string is
+        # a proper prefix of another host (true for the bench corpus's
+        # distinct FQDNs): rank within host in parallel, then offset by
+        # cumulative host counts (n_hosts tiny driver rows) — exact and
+        # deterministic.
+        w_host = Window.partitionBy("host").orderBy("url")
+        counts = base.groupBy("host").count().orderBy("host").collect()
+        offsets, running = {}, 0
+        for r in counts:
+            offsets[r["host"]] = running
+            running += r["count"]
+        off_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(h, o) for h, o in offsets.items()], "host string, _off long"
+            )
         )
-        w = Window.partitionBy("site_id").orderBy("url")
-        frontier0 = base.withColumn("seq", F.row_number().over(w).cast("long")).withColumn(
-            "processed_wave", F.lit(None).cast("int")
-        ).select(*FRONTIER_COLS)
+        frontier0 = (
+            base.withColumn("_hrn", F.row_number().over(w_host))
+            .join(off_df, "host", "left")
+            .withColumn(
+                "seq", (F.col("_hrn") + F.coalesce("_off", F.lit(0))).cast("long")
+            )
+            .withColumn("processed_wave", F.lit(None).cast("int"))
+            .select(*FRONTIER_COLS)
+        )
         seen0 = frontier0.select(
             "site_id", "url_hash", "canonical_url", F.lit(0).alias("discovered_wave")
         )
@@ -313,16 +338,21 @@ class CrawlEngine:
             "site_stats",
             self.seeds_df.select("site_id", F.lit(0).cast("long").alias("scanned"))
             .join(
-                frontier0.groupBy("site_id").agg(F.max("seq").alias("max_seq")),
+                frontier0.groupBy("site_id").agg(
+                    F.max("seq").alias("max_seq"),
+                    F.count("*").alias("n_pending"),
+                ),
                 "site_id",
                 "left",
             )
             .select(
-                "site_id", "scanned", F.coalesce("max_seq", F.lit(0)).alias("max_seq")
+                "site_id",
+                "scanned",
+                F.coalesce("max_seq", F.lit(0)).alias("max_seq"),
+                F.coalesce("n_pending", F.lit(0)).alias("n_pending"),
             ),
             0,
         )
-        frontier0.unpersist()
         if self.config.use_bloom:
             from crawler_spark.operators.bloom import build_filters
 
@@ -337,6 +367,8 @@ class CrawlEngine:
                 0,
             )
         self.cat.commit(0)
+        frontier0.unpersist()
+        base.unpersist()
         self._pages_fetch.count()  # warm the bucketed fetch cache
 
     # -- helpers ----------------------------------------------------------
@@ -426,8 +458,16 @@ class CrawlEngine:
             .join(consumed_keys, ["site_id", "url_hash"], "left_anti")
             .join(F.broadcast(active), "site_id")
         )
+        # n_pending is carried incrementally in site_stats (discovered −
+        # consumed), so the done / skip-budget checks read a tiny
+        # snapshot instead of scanning+counting the whole pending set
         with _T("pending.count"):
-            n_pending = pending.count()
+            row = (
+                stats.join(F.broadcast(active), "site_id")
+                .agg(F.sum("n_pending").alias("_n"))
+                .first()
+            )
+            n_pending = int(row["_n"] or 0)
         if n_pending == 0:
             return {"wave": w, "done": True, "fetched": 0}
 
@@ -667,16 +707,25 @@ class CrawlEngine:
         scanned_delta = nonempty.groupBy("site_id").agg(
             F.count("*").alias("_d")
         )
-        new_seq = new_rows.groupBy("site_id").agg(F.max("seq").alias("_new_max"))
+        new_seq = new_rows.groupBy("site_id").agg(
+            F.max("seq").alias("_new_max"), F.count("*").alias("_new_n")
+        )
+        consumed_delta = outcome.groupBy("site_id").agg(F.count("*").alias("_c"))
         stats_next = (
             stats.join(scanned_delta, "site_id", "left")
             .join(new_seq, "site_id", "left")
+            .join(consumed_delta, "site_id", "left")
             .select(
                 "site_id",
                 (F.col("scanned") + F.coalesce("_d", F.lit(0))).alias("scanned"),
                 F.greatest(
                     F.col("max_seq"), F.coalesce("_new_max", F.lit(0))
                 ).alias("max_seq"),
+                (
+                    F.col("n_pending")
+                    - F.coalesce("_c", F.lit(0))
+                    + F.coalesce("_new_n", F.lit(0))
+                ).alias("n_pending"),
             )
         )
 
@@ -776,7 +825,8 @@ class CrawlEngine:
 
     def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):
         """All pending rows were gated/blocked: append their terminal
-        versions to the frontier log and commit the wave."""
+        versions to the frontier log, decrement the pending counters, and
+        commit the wave."""
         outcome = gated.select(*FRONTIER_COLS).withColumn(
             "state", F.lit("gated_kb")
         ).withColumn("processed_wave", F.lit(w))
@@ -787,8 +837,19 @@ class CrawlEngine:
                 .withColumn("state", F.lit("robots_blocked"))
                 .withColumn("processed_wave", F.lit(w))
             )
+        outcome = outcome.persist()
+        stats = self.cat.read("site_stats", schemas.SITE_STATS)
+        consumed_delta = outcome.groupBy("site_id").agg(F.count("*").alias("_c"))
+        stats_next = stats.join(consumed_delta, "site_id", "left").select(
+            "site_id",
+            "scanned",
+            "max_seq",
+            (F.col("n_pending") - F.coalesce("_c", F.lit(0))).alias("n_pending"),
+        )
         self.cat.stage("frontier", outcome.select(*FRONTIER_COLS), w)
+        self.cat.stage("site_stats", stats_next, w)
         self.cat.commit(w)
+        outcome.unpersist()
 
     # -- resolved views ----------------------------------------------------
 

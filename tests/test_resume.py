@@ -99,3 +99,29 @@ def test_metrics_lineage_recorded(spark, corpus, tmp_path_factory):
     waves = {r["wave"] for r in m.select("wave").distinct().collect()}
     assert {1, 2} <= waves
     assert m.filter(F.col("partition_id").isNull()).count() == 0
+
+
+def test_stats_pending_counter_matches_actual(spark, corpus, tmp_path_factory):
+    """site_stats.n_pending is maintained incrementally (discovered −
+    consumed); it must equal the resolved pending view's true count at
+    every commit point (the done/skip-budget checks rely on it)."""
+    corpus_dir = corpus["dir"]
+    w = tmp_path_factory.mktemp("pending_ctr")
+    e = _mk_engine(spark, corpus_dir, w)
+    e.bootstrap()
+    for _ in range(3):
+        e.run_wave()
+        actual = {
+            r["site_id"]: r["cnt"]
+            for r in e.frontier_view()
+            .filter(F.col("state") == "pending")
+            .groupBy("site_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        tracked = {
+            r["site_id"]: r["n_pending"]
+            for r in e.cat.read("site_stats").collect()
+        }
+        for site, n in tracked.items():
+            assert n == actual.get(site, 0), (site, n, actual.get(site, 0))
