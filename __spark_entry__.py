@@ -437,6 +437,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, extracted_len
             FROM read_parquet('/root/repo/tests/fixtures/density_extract_sf0.01.parquet')
         """,
+        "gate_cascade": """
+            SELECT doc_id, relevance_score, language
+            FROM read_parquet('/root/repo/tests/fixtures/gate_cascade_sf0.01.parquet')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -11,6 +11,11 @@ Run from the repo root:  python tests/gen_fixtures.py
   through the engine's own pure function and pinned — a regression
   oracle (the extractor's behavioral correctness is covered separately
   by the unit suite in tests/test_density_extractor.py).
+* ``gate_cascade``: the cascade's pure gate functions are evaluated
+  driver-side row by row and pinned — the oracle then validates the
+  Spark-side plumbing (UDF wiring, gate-order filters, struct
+  projection) end to end; the gates' semantics are covered by
+  tests/test_cascade.py.
 
 The oracle_sql() entries read these files by absolute path; the driver
 contract runs at sf0.01, so fixtures are generated for that sf.
@@ -58,6 +63,25 @@ def main() -> None:
     )
     fp["fingerprint"] = fp["fingerprint"].astype("int64")
     fp.to_parquet(os.path.join(OUT_DIR, f"doc_fingerprint_sf{SF}.parquet"), index=False)
+
+    from crawler_spark.functions.scoring import (
+        analyze_content,
+        gatekeeper_relevant,
+        is_low_quality_text,
+    )
+
+    instruction = "data query batch window partition"
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        if t is None or is_low_quality_text(t):
+            continue
+        if not gatekeeper_relevant(t, instruction):
+            continue
+        a = analyze_content(t, instruction)
+        if a["relevance_score"] >= 0.2:
+            rows.append((doc_id, a["relevance_score"], a["language"]))
+    gc = pd.DataFrame(rows, columns=["doc_id", "relevance_score", "language"])
+    gc.to_parquet(os.path.join(OUT_DIR, f"gate_cascade_sf{SF}.parquet"), index=False)
 
     from crawler_spark.functions.html_extract import extract_page_density
 
