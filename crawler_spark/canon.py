@@ -85,19 +85,31 @@ def viewer_rewrite_udf(urls: pd.Series, bases: pd.Series) -> pd.Series:
 
 
 def with_viewer_rewrite(df, url_col: str = "url", base_col: str = "base_url"):
-    """Add ``real_url``: viewer links (query has a ``file`` param) are
-    rewritten to their decoded target, everything else passes through
-    unchanged. Same filter-split shape as :func:`with_canonical_split`:
-    a JVM ``contains('file=')`` guard routes only candidate rows through
-    the Arrow UDF (the guard is a superset — e.g. ``profile=`` — and the
-    UDF's exact ``parse_qs`` check returns None for non-matches, which
-    coalesces back to the original URL)."""
+    """Add ``real_url`` and ``is_viewer``: viewer links (query has a
+    ``file`` param) are rewritten to their decoded target and flagged,
+    everything else passes through unchanged. Same filter-split shape as
+    :func:`with_canonical_split`: a JVM ``contains('file=')`` guard
+    routes only candidate rows through the Arrow UDF (the guard is a
+    superset — e.g. ``profile=`` — and the UDF's exact ``parse_qs``
+    check returns None for non-matches). The guard is coalesced to
+    False so NULL-url rows take the plain branch instead of silently
+    vanishing from the union (``NULL.contains(...)`` is NULL, which
+    fails both branch filters). ``is_viewer`` comes from the UDF's
+    non-null result, not a string inequality — a viewer link whose
+    decoded target happens to equal the original URL is still flagged."""
     url = F.col(url_col)
-    guard = url.contains("file=")
-    plain = df.filter(~guard).withColumn("real_url", url)
-    viewer = df.filter(guard).withColumn(
-        "real_url",
-        F.coalesce(viewer_rewrite_udf(url, F.col(base_col)), url),
+    guard = F.coalesce(url.contains("file="), F.lit(False))
+    plain = (
+        df.filter(~guard)
+        .withColumn("real_url", url)
+        .withColumn("is_viewer", F.lit(False))
+    )
+    viewer = (
+        df.filter(guard)
+        .withColumn("_vr", viewer_rewrite_udf(url, F.col(base_col)))
+        .withColumn("real_url", F.coalesce(F.col("_vr"), url))
+        .withColumn("is_viewer", F.col("_vr").isNotNull())
+        .drop("_vr")
     )
     return plain.unionByName(viewer)
 
@@ -150,15 +162,14 @@ def with_canonical_split(df, url_col: str = "url"):
     """Add ``canonical_url`` via filter-split: rows matching the
     already-canonical regex take a zero-cost JVM identity branch; only
     the oddballs (ports, uppercase, fragments, userinfo) pay the Arrow
-    UDF. The union preserves no ordering — callers downstream must not
+    UDF. The regex guard is coalesced to False so NULL urls take the UDF
+    branch (which maps them to NULL) instead of vanishing from the union.
+    The union preserves no ordering — callers downstream must not
     rely on row order (the engine orders by data columns everywhere)."""
     url = F.col(url_col)
-    simple = df.filter(url.rlike(_ALREADY_CANONICAL_RE)).withColumn(
-        "canonical_url", url
-    )
-    odd = df.filter(~url.rlike(_ALREADY_CANONICAL_RE)).withColumn(
-        "canonical_url", canonicalize_udf(url)
-    )
+    guard = F.coalesce(url.rlike(_ALREADY_CANONICAL_RE), F.lit(False))
+    simple = df.filter(guard).withColumn("canonical_url", url)
+    odd = df.filter(~guard).withColumn("canonical_url", canonicalize_udf(url))
     return simple.unionByName(odd)
 
 

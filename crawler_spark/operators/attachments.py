@@ -136,14 +136,19 @@ def classify_attachment_links(
     from crawler_spark.canon import with_viewer_rewrite
 
     out = with_viewer_rewrite(df, url_col, base_col)
-    rewritten = F.col("real_url") != F.col(url_col)
+    # viewer detection is the UDF's non-null result (is_viewer), not a
+    # real_url != url string inequality — a viewer link whose decoded
+    # file target equals the original URL is still an attachment.
     same_host = F.lower(
         F.parse_url(F.col(url_col), F.lit("HOST"))
     ) == F.lower(F.parse_url(F.col(base_col), F.lit("HOST")))
     ext_hit = F.parse_url(F.col("real_url"), F.lit("PATH")).rlike(PARSER_EXT_RE)
+    # coalesce: a NULL base_url (→ NULL same_host) must classify as a
+    # page link (False), not propagate NULL through the boolean algebra
     return out.withColumn(
-        "is_attachment", rewritten | (ext_hit & same_host)
-    ).withColumnRenamed("real_url", "attachment_url")
+        "is_attachment",
+        F.coalesce(F.col("is_viewer") | (ext_hit & same_host), F.lit(False)),
+    ).withColumnRenamed("real_url", "attachment_url").drop("is_viewer")
 
 
 def attachment_name(url: str) -> str:

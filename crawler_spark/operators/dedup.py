@@ -271,17 +271,38 @@ def simhash_udf():
     return fn
 
 
+def _pigeonhole_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) for ``max_hamming + 1`` near-even blocks of a
+    64-bit word. Pigeonhole: a pair differing in ≤ max_hamming bits
+    cannot differ in all max_hamming+1 blocks, so it agrees on ≥1 block
+    — the banding is recall-complete for the requested distance."""
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    blocks, off = [], 0
+    for w in widths:
+        blocks.append((off, w))
+        off += w
+    return blocks
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """ALL near-dup pairs with Hamming(simhash) ≤ max_hamming (recall 1
+    by the pigeonhole banding, precision 1 by the popcount filter).
 
-    Pigeonhole banding: with 4 16-bit blocks, any pair within distance 3
-    agrees on ≥1 block → block-equality join finds all of them; popcount
+    The block count is derived from the requested distance: pigeonhole
+    needs ``max_hamming + 1`` blocks for any ≤max_hamming-bit difference
+    to leave one block intact (e.g. ≤3 → 4×16-bit blocks, ≤12 → 13
+    ~5-bit blocks). More blocks = narrower blocks = more candidate
+    collisions — callers asking for large distances pay a wider
+    candidate join; the guarantee holds either way. Popcount
     verification is JVM-side (bit_count)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     s = df.select(F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sim"))
     blocks = s.select(
         "id",
@@ -291,11 +312,18 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("sim"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bv"),
+                        (
+                            F.shiftrightunsigned(F.col("sim"), off).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                            if width < 64
+                            # single 64-bit block (max_hamming=0): the
+                            # mask 2^64-1 overflows a long literal and is
+                            # a no-op anyway
+                            else F.col("sim")
+                        ).alias("bv"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(_pigeonhole_blocks(max_hamming))
                 ]
             )
         ).alias("e"),

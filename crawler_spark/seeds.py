@@ -19,6 +19,7 @@ column-matching and row-filtering logic is factored into
 
 from __future__ import annotations
 
+import zlib
 from urllib.parse import urlparse
 
 import pandas as pd
@@ -44,7 +45,10 @@ def site_identifier_py(url: str) -> str:
             ident = parts[0]
         return ident.replace("-", "_")
     except ValueError:
-        return f"site_{hash(url)}"
+        # stable fallback id: Python's builtin hash is PYTHONHASHSEED-
+        # salted, so it would change across driver restarts and break a
+        # resume that joins state keyed on site_id — crc32 is stable.
+        return f"site_{zlib.crc32(url.encode('utf-8'))}"
 
 
 def match_seed_columns(columns) -> tuple[str | None, str | None, str | None]:

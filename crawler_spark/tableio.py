@@ -14,20 +14,29 @@ would rewrite TBs to add a delta):
 
 * ``REPLACE`` — genuinely-small whole tables (kb, site_stats): immutable
   ``v{wave}`` snapshot dirs, last one wins.
-* ``APPEND`` — event logs (crawled, packets, metrics): immutable
-  ``d{wave}`` delta dirs, read = union.
-* ``BUCKET_APPEND`` — append-only keyed state (seen): each wave's delta
-  is written hash-partitioned into ``d{wave}/_b={k}`` subdirs by
-  ``pmod(url_hash, B)``; read = union of all committed deltas,
-  ``read_buckets`` prunes to the buckets a join actually probes. This is
-  the parquet stand-in for appending to an Iceberg table with a
-  ``bucket(B, url_hash)`` partition transform.
-* ``BUCKET_REPLACE`` — mutable keyed state (frontier, ledger,
-  seen_filters): the checkpoint maps each bucket to its current version
-  dir; an upsert stages new contents for only the *touched* buckets and
-  the commit repoints just those map entries (Iceberg's
-  copy-on-write MERGE at partition granularity). Untouched buckets are
-  neither read nor rewritten.
+* ``APPEND`` — delta logs (crawled, packets, metrics — and the
+  *frontier*, which is a plain-append merge-on-read log: rows transition
+  exactly once pending→terminal, each wave appends terminal versions of
+  consumed rows plus new pending rows, and reads resolve
+  pending-minus-terminal-keys; see wave.py for why bucketing the
+  frontier deltas would buy nothing): immutable ``d{wave}`` delta dirs,
+  read = union.
+* ``BUCKET_APPEND`` — append-only / merge-on-read keyed state (*seen*:
+  append-only by construction; *ledger*: MOR version log, latest wave
+  per key wins on read): each wave's delta is written hash-partitioned
+  into ``d{wave}/_b={k}`` subdirs by ``pmod(url_hash, B)``; read = union
+  of all committed deltas, ``read_buckets`` prunes to the buckets a join
+  actually probes. This is the parquet stand-in for appending to an
+  Iceberg table with a ``bucket(B, url_hash)`` partition transform.
+* ``BUCKET_REPLACE`` — mutable keyed state whose values are fixed-size
+  per bucket (*seen_filters*: one Bloom blob per bucket): the checkpoint
+  maps each bucket to its current version dir; an upsert stages new
+  contents for only the *touched* buckets and the commit repoints just
+  those map entries (Iceberg's copy-on-write MERGE at partition
+  granularity). Untouched buckets are neither read nor rewritten.
+  Random-hash keyed ROW state must NOT use this mode — an upsert of
+  random keys touches ~every bucket and rewrites O(table) bytes; the
+  MOR append logs above are the O(delta) design.
 
 Commit protocol: a checkpoint file ``{root}/_checkpoint.json`` maps the
 committed wave to the exact snapshot/delta/bucket set, written via

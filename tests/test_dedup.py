@@ -80,6 +80,37 @@ def test_minhash_lsh_finds_planted_pairs(docs):
     assert got <= exact
 
 
+def _brute_force_hamming_pairs(docs, max_hamming):
+    """Exact expected pair set: collect the simhashes and compare all
+    pairs driver-side (51 docs → trivial)."""
+    sims = {
+        r["id"]: r["sim"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"), dedup.simhash_udf()(F.col("text")).alias("sim")
+        ).collect()
+    }
+    ids = sorted(sims)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                out[(a, b)] = h
+    return out
+
+
+@pytest.mark.parametrize("max_hamming", [0, 3, 10, 12])
+def test_simhash_recall_complete(docs, max_hamming):
+    """The banding derives its block count from max_hamming (pigeonhole:
+    max_hamming+1 blocks), so the output must EQUAL the brute-force pair
+    set at that distance — recall 1, not 'most pairs'."""
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=max_hamming).collect()
+    }
+    assert got == _brute_force_hamming_pairs(docs, max_hamming)
+
+
 def test_simhash_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
@@ -87,5 +118,13 @@ def test_simhash_near_dups(docs):
     }
     for i in range(5):
         assert pairs.get((i, 100 + i)) == 0  # identical text → same simhash
+    # with the distance-derived banding the planted 3-word mutations that
+    # ARE within 10 bits must all be recalled (checked exactly above);
+    # here just assert the planted family shows up at all
     near = [k for k in pairs if k[1] - k[0] == 190]
-    assert len(near) >= 3  # most 3-of-60-word mutations stay within 10 bits
+    assert len(near) >= 3
+
+
+def test_simhash_rejects_bad_distance(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=64)
