@@ -11,12 +11,28 @@ ordering + resume), but this module provides the always-on variant:
   (each wave's commit drops a new delta dir = one micro-batch);
 * stateless gates (sentinel, low-quality, gatekeeper, analysis,
   threshold) run as the same vectorized UDFs per micro-batch;
-* stateful feedback (KB MERGE, ledger upsert) runs in ``foreachBatch``
+* stateful feedback (KB MERGE, ledger versions) runs in ``foreachBatch``
   — the standard streaming-upsert pattern, one atomic commit per batch
-  through the same TableCatalog (exactly-once via the streaming
-  checkpoint + idempotent per-batch stage/commit);
+  through the same TableCatalog;
 * trigger: ``processingTime='15 seconds'`` in production,
   ``availableNow`` in tests (drain-and-stop, deterministic).
+
+Exactly-once under replay (foreachBatch may re-run a batch whose
+side-effects completed but whose completion the streaming checkpoint
+never recorded):
+
+* packets/rejected are written to a per-batch partition dir
+  (``batch_id={id}``) with overwrite — a replay rewrites the same bytes
+  instead of appending duplicates;
+* the feedback catalog records the last applied batch id as its own
+  committed counter; a replayed batch with ``batch_id <= committed`` is
+  skipped outright, which both prevents the additive KB merge from
+  double-counting and never restages (→ never rmtree's) a dir the
+  committed catalog checkpoint references;
+* the ledger is a BUCKET_APPEND merge-on-read log exactly like the
+  batch engine's (wave.py design): each batch appends only its own
+  version rows, latest wave per url_hash wins on read
+  (:func:`read_ledger_state`) — no per-batch O(bucket) rewrite.
 """
 
 from __future__ import annotations
@@ -25,22 +41,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark import schemas
-from crawler_spark.operators.cascade import merge_ledger, run_cascade
+from crawler_spark.operators.cascade import run_cascade
 from crawler_spark.operators.kb import merge_kb, wave_kb_delta
-from crawler_spark.tableio import BUCKET_REPLACE, REPLACE, TableCatalog
+from crawler_spark.tableio import BUCKET_APPEND, REPLACE, TableCatalog
 
 
 def make_feedback_catalog(
     spark: SparkSession, state_dir: str, n_buckets: int = 32
 ) -> TableCatalog:
-    """The streaming worker's own kb/ledger state store (same MERGE
-    semantics as the batch engine's tables, committed per micro-batch).
-    Kept separate from a crawl engine's catalog: the streaming commit
-    counter is the micro-batch id, not a wave number."""
+    """The streaming worker's own kb/ledger state store, committed per
+    micro-batch (the catalog's committed counter IS the last applied
+    batch id — the replay guard). kb stays a full snapshot (genuinely
+    small); ledger is a bucketed merge-on-read version log, the same
+    O(delta) append design as the batch engine's ledger."""
     cat = TableCatalog(spark, state_dir)
     cat.register("kb", REPLACE)
-    cat.register("ledger", BUCKET_REPLACE, n_buckets=n_buckets)
+    cat.register("ledger", BUCKET_APPEND, n_buckets=n_buckets)
     return cat
+
+
+def read_ledger_state(cat: TableCatalog) -> DataFrame:
+    """Resolved ledger state (latest wave per url_hash) → LEDGER shape."""
+    log = cat.read("ledger", schemas.LEDGER_LOG)
+    return (
+        log.groupBy("url_hash")
+        .agg(F.max(F.struct("wave", "url", "content_hash")).alias("_s"))
+        .select("url_hash", "_s.url", "_s.content_hash")
+    )
 
 
 def start_stream_cascade(
@@ -56,15 +83,15 @@ def start_stream_cascade(
     """Start the streaming cascade; returns the StreamingQuery.
 
     ``crawled_glob``: directory (or glob) of crawled-delta parquet.
-    ``out_dir``: packets/rejected parquet sinks are written under it.
+    ``out_dir``: packets/rejected parquet sinks are written under it,
+    partitioned by ``batch_id`` (read the directory whole — Spark's
+    partition discovery restores the batch_id column).
     ``trigger``: e.g. {"processingTime": "15 seconds"} or
     {"availableNow": True} (default, drain-and-stop).
     ``feedback_catalog``: optional state store (make_feedback_catalog)
-    that receives the KB MERGE + ledger upsert per micro-batch —
+    that receives the KB MERGE + ledger version append per micro-batch —
     state-equivalent to the batch cascade's kb/ledger feedback
     (reference worker behavior, llm_processing_worker.py:97-123).
-    Exactly-once: a replayed micro-batch restages the same batch_id dirs
-    and repoints the same checkpoint entries (idempotent).
     """
     stream = (
         spark.readStream.schema(schemas.CRAWLED)
@@ -82,35 +109,31 @@ def start_stream_cascade(
         # (micro-batches can span waves; a hardcoded wave would collide
         # packet_ids on re-crawled pages)
         out = run_cascade(batch_df, seeds, wave=None, threshold=threshold)
-        # per-batch atomic appends; batch_id keys make retries idempotent
-        out["packets"].withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(f"{out_dir}/packets")
-        out["rejected"].withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(f"{out_dir}/rejected")
+        # idempotent per-batch sinks: a replayed batch overwrites its own
+        # partition dir instead of appending duplicate rows
+        out["packets"].write.mode("overwrite").parquet(
+            f"{out_dir}/packets/batch_id={batch_id}"
+        )
+        out["rejected"].write.mode("overwrite").parquet(
+            f"{out_dir}/rejected/batch_id={batch_id}"
+        )
         if feedback_catalog is not None:
             cat = feedback_catalog
+            if batch_id <= cat.committed_wave:
+                # replay of an already-applied batch (crash landed between
+                # the catalog commit and the streaming checkpoint write):
+                # the state already includes it — re-merging would double-
+                # count the additive KB scores, and restaging would
+                # rmtree dirs the committed checkpoint references.
+                return
             kb_next = merge_kb(
                 cat.read("kb", schemas.KB), wave_kb_delta(out["verdicts"])
             )
-            delta = out["ledger_delta"].persist()
-            n_b = cat.tables["ledger"].n_buckets
-            l_buckets = sorted(
-                r["_b"]
-                for r in delta.select(
-                    F.pmod("url_hash", F.lit(n_b)).cast("int").alias("_b")
-                )
-                .distinct()
-                .collect()
-            )
-            ledger_next = merge_ledger(
-                cat.read_buckets("ledger", l_buckets, schemas.LEDGER), delta
-            )
+            # MOR log append: only this batch's version rows are written;
+            # resolution (max wave per key) happens on read
             cat.stage("kb", kb_next, batch_id)
-            cat.stage("ledger", ledger_next, batch_id, touched=l_buckets)
+            cat.stage("ledger", out["ledger_delta"], batch_id)
             cat.commit(batch_id)
-            delta.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -56,7 +56,7 @@ def test_stream_feedback_state_equals_batch(spark, corpus, tmp_path_factory):
     llm_processing_worker.py:97-123)."""
     from crawler_spark.operators.cascade import merge_ledger
     from crawler_spark.operators.kb import merge_kb, wave_kb_delta
-    from crawler_spark.streaming.worker import make_feedback_catalog
+    from crawler_spark.streaming.worker import make_feedback_catalog, read_ledger_state
     from crawler_spark import schemas
 
     d = corpus["dir"]
@@ -106,14 +106,37 @@ def test_stream_feedback_state_equals_batch(spark, corpus, tmp_path_factory):
         )
 
     assert kb_sig(cat.read("kb", schemas.KB)) == kb_sig(kb)
-    assert led_sig(cat.read("ledger", schemas.LEDGER)) == led_sig(ledger)
-    assert cat.read("ledger", schemas.LEDGER).count() > 0
+    # streaming ledger is a MOR version log — compare the resolved state
+    assert led_sig(read_ledger_state(cat)) == led_sig(ledger)
+    assert read_ledger_state(cat).count() > 0
 
     # packet wave column derives from the rows, not a hardcoded 0
     pk = spark.read.parquet(f"{out}/packets")
     pk_waves = {r["wave"] for r in pk.select("wave").distinct().collect()}
     assert pk_waves <= set(waves)
     assert max(pk_waves) > 0  # wave 2/3 packets keep their real wave id
+
+    # replay safety: re-draining the SAME crawled data with a FRESH
+    # streaming checkpoint (the worst case — every batch replays) must
+    # leave the feedback state bit-identical: the catalog's committed
+    # batch counter skips already-applied batches, so the additive KB
+    # merge never double-counts and no committed dir is restaged.
+    n_packets_before = pk.count()
+    ckpt2 = tmp_path_factory.mktemp("stream_ckpt3_replay")
+    q2 = start_stream_cascade(
+        spark, str(work / "crawled"), seeds, str(out), str(ckpt2),
+        trigger={"availableNow": True}, feedback_catalog=cat,
+    )
+    q2.awaitTermination(timeout=300)
+    assert kb_sig(cat.read("kb", schemas.KB)) == kb_sig(kb)
+    assert led_sig(read_ledger_state(cat)) == led_sig(ledger)
+    # per-batch overwrite sinks: the replay rewrote, not duplicated
+    # (refresh: the session caches the path's file listing and the
+    # replay overwrote the part files under it)
+    spark.catalog.refreshByPath(f"{out}/packets")
+    pk2 = spark.read.parquet(f"{out}/packets")
+    assert pk2.count() == n_packets_before
+    assert pk2.count() == pk2.select("content_url").distinct().count()
 
 
 def test_stream_cascade_incremental_pickup(spark, corpus, tmp_path_factory):
