@@ -220,22 +220,21 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding near-dup pairs via the SCALE-PATH operator: banded
-    random-hyperplane LSH self-join (operators/similarity.py), exact
-    cosine verified on candidates. Band parameters (16 bands × 2 bits,
-    seed 42) are tuned so recall is exactly 1.0 on this corpus at the
-    0.4 threshold — verified against the exact-pair DuckDB oracle, which
-    computes the same set by brute force."""
-    from crawler_spark.operators.similarity import embedding_neardup_pairs
+    """Embedding near-dup pairs — the EXACT operator (brute-force
+    all-pairs JVM cosine) as the correctness contract, matching the
+    brute-force DuckDB oracle by construction. The approximate LSH
+    scale path is a separate entry (``embedding_neardup_lsh``) checked
+    by recall tests + throughput bench, never by exact set equality:
+    LSH recall < 1 in general, so tying the correctness gate to tuned
+    band parameters would silently break on any corpus/seed change."""
+    from crawler_spark.operators.similarity import embedding_neardup_exact
 
     e = (
         _t(spark, sf_dir, "embeddings")
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
         .select("vec_id", "embedding")
     )
-    return embedding_neardup_pairs(
-        e, threshold=0.4, n_bands=16, bits_per_band=2, seed=42
-    )
+    return embedding_neardup_exact(e, threshold=0.4)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -293,10 +292,35 @@ def q_salted_topk_skew(spark, sf_dir):
 # --- rows-only entries (no SQL equivalent; verified in tests/) -------------
 
 def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates → exact-Jaccard verify. DuckDB-checked
+    against an INDEPENDENT brute-force exact-Jaccard pair fixture
+    (tests/gen_fixtures.py, zero crawler_spark imports): the corpus's
+    qualifying pairs sit at j ≈ 0.9–1.0 where the (k=64, bands=16, r=4)
+    banding's miss probability is ≤ (1−0.9⁴)¹⁶ ≈ 5e−8, so recall is 1.0
+    here and the verification step makes precision exactly 1 — the
+    approximate pipeline must equal the brute-force set."""
     from crawler_spark.operators.dedup import minhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(d, threshold=0.5, k=64, bands=16)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The approximate LSH scale path (banded hyperplane signatures,
+    exact cosine on candidates — precision 1, recall tuned by band
+    parameters). Rows-only driver check by design; recall is asserted
+    against the exact operator in tests/test_similarity_textstats.py
+    and throughput in BENCH/LSH_SCALE.md."""
+    from crawler_spark.operators.similarity import embedding_neardup_pairs
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .select("vec_id", "embedding")
+    )
+    return embedding_neardup_pairs(
+        e, threshold=0.4, n_bands=16, bits_per_band=2, seed=42
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -411,8 +435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "broadcast_join_enrich": q_broadcast_join_enrich,
         "salted_topk_skew": q_salted_topk_skew,
-        # rows-only (non-SQL-expressible; strong checks in tests/)
         "minhash_pairs": q_minhash_pairs,
+        # rows-only (non-SQL-expressible; strong checks in tests/)
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "doc_fingerprint": q_doc_fingerprint,
@@ -426,9 +451,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         # Fixture-backed oracles for deterministic pure functions (the
         # driver contract runs at sf0.01; fixtures generated by
-        # tests/gen_fixtures.py — doc_fingerprint values come from an
-        # independent reimplementation, density_extract pins the
-        # extractor's output lengths as a regression oracle).
+        # tests/gen_fixtures.py, which imports NOTHING from
+        # crawler_spark — every fixture is an independent
+        # reimplementation: winnowing fingerprint, gate-cascade
+        # formulas, density final-clean line filter, brute-force
+        # exact-Jaccard pairs).
         "doc_fingerprint": """
             SELECT doc_id, fingerprint
             FROM read_parquet('/root/repo/tests/fixtures/doc_fingerprint_sf0.01.parquet')
@@ -440,6 +467,10 @@ def oracle_sql() -> dict[str, str]:
         "gate_cascade": """
             SELECT doc_id, relevance_score, language
             FROM read_parquet('/root/repo/tests/fixtures/gate_cascade_sf0.01.parquet')
+        """,
+        "minhash_pairs": """
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM read_parquet('/root/repo/tests/fixtures/minhash_pairs_sf0.01.parquet')
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

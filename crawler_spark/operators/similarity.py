@@ -107,6 +107,35 @@ def ann_topk_lsh(
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT near-dup pairs (cosine ≥ threshold, id_a < id_b) — the
+    brute-force all-pairs self-join, pure JVM cosine. This is the
+    correctness CONTRACT for the approximate scale path
+    (:func:`embedding_neardup_pairs`): LSH recall is < 1 in general, so
+    the exact operator is what the DuckDB oracle checks, and the LSH
+    variant is validated separately by recall tests + throughput bench.
+    O(n²) — do not run on a full 100 TB corpus; at scale it serves as
+    the verification stage on LSH candidates or on sampled partitions."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (na * nb), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def band_signatures_udf(dim: int, n_bands: int, bits_per_band: int, seed: int = 42):
     """Per-row array of ``n_bands`` hyperplane signatures (one LSH hash
     table per band — the multi-table construction that trades index size

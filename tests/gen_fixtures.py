@@ -1,21 +1,34 @@
 """Generate the DuckDB-oracle fixture parquets for the deterministic
-pure-function queries (doc_fingerprint, density_extract).
+pure-function queries (doc_fingerprint, gate_cascade, density_extract,
+minhash_pairs).
 
 Run from the repo root:  python tests/gen_fixtures.py
 
-* ``doc_fingerprint``: expected values come from an INDEPENDENT pure-
-  Python reimplementation of the winnowing fingerprint (min crc32 over
-  8-word sliding windows) — no imports from crawler_spark, so the
-  fixture cross-checks the operator, not just its determinism.
-* ``density_extract``: expected extracted-text lengths are computed once
-  through the engine's own pure function and pinned — a regression
-  oracle (the extractor's behavioral correctness is covered separately
-  by the unit suite in tests/test_density_extractor.py).
-* ``gate_cascade``: the cascade's pure gate functions are evaluated
-  driver-side row by row and pinned — the oracle then validates the
-  Spark-side plumbing (UDF wiring, gate-order filters, struct
-  projection) end to end; the gates' semantics are covered by
-  tests/test_cascade.py.
+Every fixture in this file is computed by an INDEPENDENT
+reimplementation — this module imports NOTHING from crawler_spark, so a
+green hash_match validates the operator's semantics, not merely its
+determinism:
+
+* ``doc_fingerprint``: min crc32 over 8-word sliding windows.
+* ``gate_cascade``: the reference's gate formulas (F10 low-quality
+  ratio, L1 gatekeeper token overlap on the 1500-char snippet, L2
+  analysis score/language on the 4000-char snippet — reference
+  llm_processing_worker.py:37-56 + llm_client.py:38-97 behavior)
+  transcribed here from the written spec, evaluated row by row.
+* ``density_extract``: for the fixed synthesized page shape
+  (``<div class='content'><p>{text}</p></div>`` + a Copyright footer)
+  the density extractor must select the content div and emit the
+  cleaned text — the expected length is the E4 final-clean line filter
+  (≥10-char lines, noise-line and meta-line drops) applied to the raw
+  document text directly, with no HTML machinery involved.
+* ``minhash_pairs``: brute-force exact word-3-gram Jaccard over ALL
+  doc pairs (500 docs at sf0.01 → 125k pairs, trivial driver-side);
+  pairs with jaccard ≥ 0.5 are the expected output. The engine's
+  MinHash-LSH parameters (k=64, bands=16) give recall 1.0 on this
+  corpus (the 25 qualifying pairs sit at j≈0.9–1.0, where the banded
+  collision probability is ≥ 1−3e−8), and the exact-Jaccard
+  verification step makes precision 1 — so approximate candidate
+  generation + exact verify must EQUAL the brute-force set here.
 
 The oracle_sql() entries read these files by absolute path; the driver
 contract runs at sf0.01, so fixtures are generated for that sf.
@@ -23,8 +36,9 @@ contract runs at sf0.01, so fixtures are generated for that sf.
 
 from __future__ import annotations
 
+import itertools
 import os
-import sys
+import re
 import zlib
 
 import duckdb
@@ -48,8 +62,125 @@ def fingerprint_independent(text: str | None, window: int = 8) -> int:
     return min(zlib.crc32(s.encode("utf-8")) for s in spans)
 
 
+# --- gate cascade: independent transcription of the gate formulas -----------
+
+_DATE = re.compile(r"\d{4}-\d{2}-\d{2}")
+_TOKEN = re.compile(r"[0-9A-Za-z가-힣]+")
+_HANGUL = re.compile(r"[가-힣]")
+_LATIN = re.compile(r"[A-Za-z]")
+
+
+def gate_low_quality(text: str) -> bool:
+    """F10: list-like page heuristic — ≥5 lines and >70% of them short
+    (<50 chars stripped, +0.5 weight per date-stamped line)."""
+    lines = text.split("\n")
+    if len(lines) < 5:
+        return False
+    short = 0.0
+    for line in lines:
+        if len(line.strip()) < 50:
+            short += 1
+        if _DATE.search(line):
+            short += 0.5
+    return (short / len(lines)) > 0.7
+
+
+def _gate_tokens(s: str) -> list[str]:
+    return [t for t in _TOKEN.findall(s.lower()) if len(t) >= 2]
+
+
+def gate_keeper(text: str, instruction: str) -> bool:
+    """L1: relevant iff any instruction token appears in the first
+    1500 chars; empty/None → False."""
+    if not text or not instruction:
+        return False
+    inst = set(_gate_tokens(instruction))
+    if not inst:
+        return False
+    return bool(inst & set(_gate_tokens(text[:1500])))
+
+
+def gate_analyze(text: str, instruction: str) -> tuple[float, str]:
+    """L2: (relevance_score, language) on the 4000-char snippet —
+    score = round(min(1, |overlap| / |instruction tokens|), 3),
+    language by hangul/latin character ratio (≥0.3 hangul → ko)."""
+    snippet = text[:4000]
+    toks = _gate_tokens(snippet)
+    inst = list(dict.fromkeys(_gate_tokens(instruction or "")))
+    overlap = len(set(toks) & set(inst))
+    score = round(min(1.0, overlap / len(inst)), 3) if inst else 0.0
+    hangul = len(_HANGUL.findall(snippet))
+    latin = len(_LATIN.findall(snippet))
+    total = hangul + latin
+    if total == 0:
+        language = "unknown"
+    elif hangul / total >= 0.3:
+        language = "ko"
+    else:
+        language = "en"
+    return score, language
+
+
+# --- density extract: independent transcription of the E4 final clean -------
+
+# the clean-chain constants are the reference's published parity values
+# (SURVEY E4/E5); the transcription below re-evaluates them outside the
+# engine's code path
+_MULTI_BLANK = re.compile(r"(\n\s*){3,}")
+_DENSITY_LINE_NOISE = [
+    "다운로드", "뷰어", "첨부파일", "목록으로", "이전글", "다음글", "맨위로",
+    "Copyright", "All rights reserved", "찾아오시는 길", "개인정보처리방침",
+    "유용한 정보가 되었나요?",
+]
+_DENSITY_META = re.compile(r"^\s*(작성자|등록일|조회수|담당부서|키워드|분류)\s*[:\s]")
+
+
+def density_clean_len(text: str) -> int:
+    """Expected extracted-text length for the synthesized page: the
+    content div holds exactly the raw text, so the extraction reduces
+    to the density final-clean line filter over it."""
+    t = _MULTI_BLANK.sub("\n\n", text or "")
+    out = []
+    for line in t.split("\n"):
+        s = line.strip()
+        if not s or len(s) < 10:
+            continue
+        if any(k in s for k in _DENSITY_LINE_NOISE):
+            continue
+        if _DENSITY_META.match(s):
+            continue
+        out.append(s)
+    return len("\n".join(out))
+
+
+# --- minhash pairs: brute-force exact n-gram Jaccard ------------------------
+
+def _shingle_set(text: str | None, n: int = 3) -> set[str]:
+    words = (text or "").split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def exact_jaccard_pairs(docs: list[tuple[int, str]], threshold: float = 0.5):
+    """All (id_a < id_b, jaccard) with exact word-3-gram Jaccard ≥
+    threshold, brute force over every pair."""
+    sets = {d: _shingle_set(t) for d, t in docs}
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
 def main() -> None:
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     os.makedirs(OUT_DIR, exist_ok=True)
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
@@ -64,40 +195,39 @@ def main() -> None:
     fp["fingerprint"] = fp["fingerprint"].astype("int64")
     fp.to_parquet(os.path.join(OUT_DIR, f"doc_fingerprint_sf{SF}.parquet"), index=False)
 
-    from crawler_spark.functions.scoring import (
-        analyze_content,
-        gatekeeper_relevant,
-        is_low_quality_text,
-    )
-
     instruction = "data query batch window partition"
     rows = []
     for doc_id, t in zip(docs["doc_id"], docs["text"]):
-        if t is None or is_low_quality_text(t):
+        if t is None or gate_low_quality(t):
             continue
-        if not gatekeeper_relevant(t, instruction):
+        if not gate_keeper(t, instruction):
             continue
-        a = analyze_content(t, instruction)
-        if a["relevance_score"] >= 0.2:
-            rows.append((doc_id, a["relevance_score"], a["language"]))
+        score, language = gate_analyze(t, instruction)
+        if score >= 0.2:
+            rows.append((doc_id, score, language))
     gc = pd.DataFrame(rows, columns=["doc_id", "relevance_score", "language"])
     gc.to_parquet(os.path.join(OUT_DIR, f"gate_cascade_sf{SF}.parquet"), index=False)
 
-    from crawler_spark.functions.html_extract import extract_page_density
-
-    lens = []
-    for t in docs["text"]:
-        html = (
-            "<html><body><div class='content'><p>"
-            + (t or "")
-            + "</p></div><footer>Copyright x</footer></body></html>"
-        ).encode("utf-8")
-        r = extract_page_density(html, "https://d.example.org/x", "d.example.org")
-        lens.append(len(r["text"]) if r and r.get("text") is not None else None)
-    de = pd.DataFrame({"doc_id": docs["doc_id"], "extracted_len": lens})
+    de = pd.DataFrame(
+        {
+            "doc_id": docs["doc_id"],
+            "extracted_len": [density_clean_len(t) for t in docs["text"]],
+        }
+    )
     de["extracted_len"] = de["extracted_len"].astype("int64")
     de.to_parquet(os.path.join(OUT_DIR, f"density_extract_sf{SF}.parquet"), index=False)
-    print(f"wrote fixtures for sf{SF} to {OUT_DIR}")
+
+    pairs = exact_jaccard_pairs(list(zip(docs["doc_id"], docs["text"])), threshold=0.5)
+    mh = pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+    mh["id_a"] = mh["id_a"].astype("int64")
+    mh["id_b"] = mh["id_b"].astype("int64")
+    mh.to_parquet(os.path.join(OUT_DIR, f"minhash_pairs_sf{SF}.parquet"), index=False)
+
+    print(
+        f"wrote fixtures for sf{SF} to {OUT_DIR}: "
+        f"fingerprint={len(fp)} gate_cascade={len(gc)} "
+        f"density={len(de)} minhash_pairs={len(mh)}"
+    )
 
 
 if __name__ == "__main__":

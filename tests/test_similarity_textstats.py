@@ -50,6 +50,45 @@ def test_ann_lsh_recall(vectors):
     assert hits >= 10  # ≥ 2/3 recall on the planted structure
 
 
+def test_embedding_neardup_exact_matches_numpy(vectors):
+    """The exact operator (the correctness contract the driver oracles)
+    must equal the numpy brute-force pair set."""
+    df, base = vectors
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_exact(df, threshold=0.9).collect()
+    }
+    norms = np.linalg.norm(base, axis=1)
+    sims = (base @ base.T) / np.outer(norms, norms)
+    expected = {
+        (a, b): round(float(sims[a, b]), 4)
+        for a in range(200)
+        for b in range(a + 1, 200)
+        if round(float(sims[a, b]), 4) >= 0.9
+    }
+    assert got == expected and {(i, 100 + i) for i in range(5)} <= set(got)
+
+
+def test_embedding_neardup_lsh_recall_vs_exact(vectors):
+    """The LSH scale path in its real pruning regime (high threshold,
+    few wide bands) must recall every exact pair here and never emit a
+    below-threshold pair (precision 1 by the exact-cosine verify)."""
+    df, base = vectors
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_exact(df, threshold=0.98).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            df, threshold=0.98, n_bands=8, bits_per_band=8
+        ).collect()
+    }
+    assert approx <= exact  # precision 1
+    recall = len(approx & exact) / max(1, len(exact))
+    assert recall >= 0.8, (recall, exact - approx)
+
+
 def test_embedding_neardup_pairs(vectors):
     df, base = vectors
     pairs = {
