@@ -324,6 +324,11 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """ALL pairs with Hamming(simhash) ≤ 12 — the distance-derived
+    pigeonhole banding (13 blocks) is recall-complete at the requested
+    distance, so the output is deterministic and exactly checkable:
+    the DuckDB oracle is an independent pure-int SimHash
+    reimplementation brute-forcing every pair (tests/gen_fixtures.py)."""
     from crawler_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -331,6 +336,10 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN probe (query bucket + Hamming-1 multiprobe,
+    exact cosine inside). Deterministic given the seeded planes, so the
+    DuckDB oracle is an independent evaluation of the same probe spec
+    (tests/gen_fixtures.py ann_lsh_topk_independent)."""
     from crawler_spark.operators.similarity import ann_topk_lsh
 
     e = _t(spark, sf_dir, "embeddings")
@@ -436,10 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_enrich": q_broadcast_join_enrich,
         "salted_topk_skew": q_salted_topk_skew,
         "minhash_pairs": q_minhash_pairs,
-        # rows-only (non-SQL-expressible; strong checks in tests/)
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        # rows-only (approximate-by-design / stub-bound; checks in tests/)
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "density_extract": q_density_extract,
@@ -471,6 +480,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": """
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM read_parquet('/root/repo/tests/fixtures/minhash_pairs_sf0.01.parquet')
+        """,
+        "simhash_pairs": """
+            SELECT id_a, id_b, hamming
+            FROM read_parquet('/root/repo/tests/fixtures/simhash_pairs_sf0.01.parquet')
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id, cosine
+            FROM read_parquet('/root/repo/tests/fixtures/ann_lsh_topk_sf0.01.parquet')
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -153,6 +153,108 @@ def density_clean_len(text: str) -> int:
     return len("\n".join(out))
 
 
+# --- simhash pairs: independent fingerprint + brute-force Hamming -----------
+
+_SPLITMIX_C1 = 0x9E3779B97F4A7C15
+_SPLITMIX_C2 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C3 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    z = (x + _SPLITMIX_C1) & _U64
+    z = ((z ^ (z >> 30)) * _SPLITMIX_C2) & _U64
+    z = ((z ^ (z >> 27)) * _SPLITMIX_C3) & _U64
+    return z ^ (z >> 31)
+
+
+def simhash_independent(text: str | None) -> int:
+    """Pure-int reimplementation of the 64-bit SimHash spec: per word,
+    crc32 widened by the splitmix64 finalizer; per bit, +1/−1 votes;
+    sign of the vote sets the bit. Returned as a signed int64."""
+    if not text:
+        return 0
+    votes = [0] * 64
+    for w in text.split():
+        h = _splitmix64(zlib.crc32(w.encode("utf-8")))
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    sim = 0
+    for i in range(64):
+        if votes[i] > 0:
+            sim |= 1 << i
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def simhash_hamming_pairs(docs: list[tuple[int, str]], max_hamming: int):
+    """All (id_a < id_b, hamming ≤ max_hamming) by brute force."""
+    sims = {d: simhash_independent(t) for d, t in docs}
+    out = []
+    for a, b in itertools.combinations(sorted(sims), 2):
+        h = bin((sims[a] ^ sims[b]) & _U64).count("1")
+        if h <= max_hamming:
+            out.append((a, b, h))
+    return out
+
+
+# --- ANN top-k: independent hyperplane-LSH probe evaluation ------------------
+
+def ann_lsh_topk_independent(
+    ids, vecs, query, k: int = 10, n_bits: int = 8, seed: int = 42
+):
+    """Independent evaluation of the hyperplane-LSH probe spec: planes =
+    default_rng(seed).standard_normal((dim, n_bits)) float32; signature
+    = sign bits of vec @ planes (float32 matmul, the spec's arithmetic);
+    probe set = query bucket + all Hamming-1 neighbors; exact cosine on
+    candidates computed as a LEFT-TO-RIGHT double fold (the SQL
+    aggregate's order), rounded to 4, top-k by (−cosine, id)."""
+    import numpy as np
+
+    dim = len(query)
+    planes = np.random.default_rng(seed).standard_normal((dim, n_bits)).astype(
+        np.float32
+    )
+    m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+    bits = (m @ planes) > 0
+    sigs = np.zeros(len(ids), dtype=np.int64)
+    for b in range(n_bits):
+        sigs |= bits[:, b].astype(np.int64) << b
+    qbits = (np.asarray(query, dtype=np.float32) @ planes) > 0
+    qsig = 0
+    for b in range(n_bits):
+        qsig |= int(qbits[b]) << b
+    probes = {qsig} | {qsig ^ (1 << b) for b in range(n_bits)}
+
+    import math
+
+    def fold_dot(a, b):
+        # zip_with(float_vec, double_lits, a*b): each product promotes
+        # to double, then a left fold in double
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fold_norm(v):
+        # transform(float_vec, a*a) squares IN FLOAT32 (float*float stays
+        # float in SQL), then the fold accumulates in double
+        acc = 0.0
+        for x in v:
+            acc += float(np.float32(x) * np.float32(x))
+        return math.sqrt(acc)
+
+    qn = float(np.linalg.norm(query))  # the engine's driver-side constant
+    scored = []
+    for i, vid in enumerate(ids):
+        if int(sigs[i]) not in probes:
+            continue
+        v = [float(x) for x in vecs[i]]
+        cos = round(fold_dot(v, query) / (fold_norm(v) * qn), 4)
+        scored.append((vid, cos))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 # --- minhash pairs: brute-force exact n-gram Jaccard ------------------------
 
 def _shingle_set(text: str | None, n: int = 3) -> set[str]:
@@ -223,10 +325,33 @@ def main() -> None:
     mh["id_b"] = mh["id_b"].astype("int64")
     mh.to_parquet(os.path.join(OUT_DIR, f"minhash_pairs_sf{SF}.parquet"), index=False)
 
+    sh_pairs = simhash_hamming_pairs(
+        list(zip(docs["doc_id"], docs["text"])), max_hamming=12
+    )
+    sp = pd.DataFrame(sh_pairs, columns=["id_a", "id_b", "hamming"])
+    sp["id_a"] = sp["id_a"].astype("int64")
+    sp["id_b"] = sp["id_b"].astype("int64")
+    sp["hamming"] = sp["hamming"].astype("int32")
+    sp.to_parquet(os.path.join(OUT_DIR, f"simhash_pairs_sf{SF}.parquet"), index=False)
+
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    ids = [int(v) for v in emb["vec_id"]]
+    vecs = [list(v) for v in emb["embedding"]]
+    query = [float(x) for x in vecs[ids.index(0)]]
+    ann = pd.DataFrame(
+        ann_lsh_topk_independent(ids, vecs, query, k=10, n_bits=8, seed=42),
+        columns=["vec_id", "cosine"],
+    )
+    ann["vec_id"] = ann["vec_id"].astype("int64")
+    ann.to_parquet(os.path.join(OUT_DIR, f"ann_lsh_topk_sf{SF}.parquet"), index=False)
+
     print(
         f"wrote fixtures for sf{SF} to {OUT_DIR}: "
         f"fingerprint={len(fp)} gate_cascade={len(gc)} "
-        f"density={len(de)} minhash_pairs={len(mh)}"
+        f"density={len(de)} minhash_pairs={len(mh)} "
+        f"simhash_pairs={len(sp)} ann_lsh_topk={len(ann)}"
     )
 
 
