@@ -2,12 +2,16 @@
 with typed metadata, processed through ``mapInPandas`` stages.
 
 The Spark-side contract is real and tested — schemas, partition-preserving
-batch shapes, Arrow binary transfer, deterministic outputs — while the
-actual codec work is stubbed: the sandbox ships no image/audio libraries,
-so ``decode`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic hash-derived feature vector stands in for the
-decoder output. Swapping the stub for Pillow/torchaudio/ffmpeg later
-changes only the inner function, not the Spark plumbing.
+batch shapes, Arrow binary transfer, deterministic outputs. The codec
+layer follows the attachment-parser pattern (operators/attachments.py):
+each per-kind decoder ATTEMPTS its real library import (Pillow for
+images, PyAV for audio/video) and decodes for real when it is present —
+a cluster with the libraries installed needs no code change. The import
+raising (library genuinely absent, as in this sandbox) fails fast;
+per-row DECODE errors (corrupt payload) flow to the failure path
+(``feature`` NULL), never kill the job. ``fake=True`` is the
+deterministic sandbox test path: a sha256-seeded feature vector stands
+in for the decoder output.
 
 Design notes for 100 TB of media:
 * blobs stay in the ``payload`` binary column end-to-end (no driver
@@ -77,19 +81,73 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _decode_image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real image features: grayscale thumbnail column means. The PIL
+    import is guarded like attachments._parse_pdf — absent library →
+    ImportError (fail fast: an environment problem, not a data one)."""
+    import io
+
+    from PIL import Image  # import-guarded: absent in this sandbox
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return arr.mean(axis=0).astype(np.float32)
+
+
+def _decode_av_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real audio/video features via PyAV: first decoded frame pooled to
+    ``dim`` bins (video: grayscale column means; audio: RMS per bin)."""
+    import io
+
+    import av  # import-guarded: absent in this sandbox
+
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode():
+            if hasattr(frame, "to_ndarray"):
+                arr = frame.to_ndarray().astype(np.float32).ravel()
+                if arr.size == 0:
+                    break
+                bins = np.array_split(arr, dim)
+                return np.array(
+                    [float(np.sqrt(np.mean(b * b))) if b.size else 0.0 for b in bins],
+                    dtype=np.float32,
+                )
+    raise ValueError("no decodable frame")
+
+
+_REAL_DECODERS = {
+    "image": _decode_image_features,
+    "audio": _decode_av_features,
+    "video": _decode_av_features,
+}
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """payload → feature vector, one row per asset (mapInPandas)."""
+    """payload → feature vector, one row per asset (mapInPandas).
+
+    ``fake=False`` runs the real per-kind decoders: a missing library
+    raises (environment error), while a row whose payload fails to
+    decode yields ``feature = NULL`` (data error → failure path, the
+    job survives). ``fake=True`` is the deterministic stand-in."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires Pillow/torchaudio/ffmpeg; "
-                    "run with fake=True in this environment"
-                )
-            feats = [
-                _fake_decode_features(p).tolist() for p in pdf["payload"]
-            ]
+            if fake:
+                feats = [
+                    _fake_decode_features(p).tolist() for p in pdf["payload"]
+                ]
+            else:
+                feats = []
+                for k, p in zip(pdf["kind"], pdf["payload"]):
+                    decoder = _REAL_DECODERS.get(k)
+                    try:
+                        feats.append(
+                            decoder(bytes(p or b"")).tolist() if decoder else None
+                        )
+                    except ImportError:
+                        raise  # library absent: fail fast, don't mask
+                    except Exception:
+                        feats.append(None)  # corrupt payload → NULL
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -111,7 +169,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("real frame decode not available here")
+                import av  # noqa: F401  import-guarded: absent → ImportError
+
+                raise NotImplementedError(
+                    "real frame seek/decode not wired yet; av import "
+                    "succeeded — implement with container.seek per frame"
+                )
             rows = {"asset_id": [], "frame_idx": [], "frame_payload": []}
             for _, r in pdf.iterrows():
                 if r["kind"] != "video" or not r["duration_ms"]:

@@ -158,8 +158,13 @@ def test_multimodal_plumbing(spark):
         assert per_asset[aid] == max(1, dur // 1000)
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark):
+def test_multimodal_real_decode_import_guarded(spark):
+    """fake=False attempts the REAL decoders; in this sandbox the
+    libraries are genuinely absent, so the guarded import must raise
+    (fail fast on environment problems) — a cluster with Pillow/PyAV
+    installed takes the real-decode path with no code change."""
     media = multimodal.synth_media(spark, n=3)
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
+    msg = str(ei.value)
+    assert "PIL" in msg or "av" in msg or "ImportError" in msg or "ModuleNotFound" in msg
