@@ -341,5 +341,60 @@ class TableCatalog:
                 if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
 
+    def compact_split(self, name: str, archive_name: str, split) -> None:
+        """Compact a merge-on-read log ``name`` by ROUTING resolved rows:
+        ``split(df) -> (hot_df, archive_df)`` — ``hot_df`` becomes the
+        log's single consolidated delta, ``archive_df`` is appended as a
+        new delta of ``archive_name`` (a plain APPEND history table).
+
+        This is the 100×-read-path fix for logs whose resolved state
+        partitions into a small LIVE set and an ever-growing TERMINAL
+        set (the frontier: rows transition pending→terminal exactly
+        once). A plain resolved compaction keeps terminal rows in the
+        hot log, so every wave's pending scan reads all-time history;
+        routing terminal rows to the archive keeps the hot log
+        proportional to the live frontier + the deltas since the last
+        compaction, while the archive still serves full-history views.
+
+        Crash-safe like commit: both consolidated dirs are fully
+        written before one atomic checkpoint os.replace publishes them;
+        a crash mid-compaction leaves stale c/dc dirs that the retry
+        rmtree's."""
+        spec = self.tables[name]
+        aspec = self.tables[archive_name]
+        assert spec.mode in (APPEND, BUCKET_APPEND), f"{name}: compact needs an append mode"
+        assert aspec.mode == APPEND, f"{archive_name}: archive must be APPEND"
+        if not self._state["deltas"].get(name):
+            return
+        hot, archive = split(self.read(name))
+        wave = self._state["wave"]
+        hot_rel = f"{name}/c{wave}"
+        arch_rel = f"{archive_name}/dc{wave}"
+        hot_path = os.path.join(self.root, hot_rel)
+        if os.path.exists(hot_path):
+            shutil.rmtree(hot_path)
+        if spec.mode == BUCKET_APPEND:
+            self._write_bucketed(hot, spec, hot_path)
+        else:
+            hot.write.mode("overwrite").parquet(hot_path)
+        arch_path = os.path.join(self.root, arch_rel)
+        if os.path.exists(arch_path):
+            shutil.rmtree(arch_path)
+        archive.write.mode("overwrite").parquet(arch_path)
+        new_state = json.loads(json.dumps(self._state))
+        new_state["deltas"][name] = [hot_rel]
+        new_state["deltas"].setdefault(archive_name, []).append(arch_rel)
+        tmp = self._ckpt_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_state, f, indent=1)
+        os.replace(tmp, self._ckpt_path())
+        self._state = new_state
+        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
+            keep = set(new_state["deltas"][name])
+            tdir = os.path.join(self.root, name)
+            for d in os.listdir(tdir):
+                if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

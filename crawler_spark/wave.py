@@ -84,6 +84,21 @@ def resolve_ledger(log: DataFrame) -> DataFrame:
         .select("url_hash", "_s.url", "_s.content_hash")
     )
 
+def _split_frontier(log: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Compaction splitter: (hot = live pending rows, archive = resolved
+    terminal rows). A frontier key appears pending at most once and
+    terminal at most once (rows transition exactly once and the seen
+    set stops re-discovery), so routing terminals out preserves the
+    merge-on-read resolution: after the split, a hot pending row's
+    terminal version — if it exists at all — is always in a
+    post-compaction delta."""
+    resolved = resolve_frontier(log)
+    return (
+        resolved.filter(F.col("state") == "pending"),
+        resolved.filter(F.col("state") != "pending"),
+    )
+
+
 _PROFILE = os.environ.get("SPARK_GRAFT_PROFILE", "0") != "0"
 _PROFILE_DEEP = os.environ.get("SPARK_GRAFT_PROFILE") == "2"
 
@@ -189,9 +204,17 @@ class CrawlEngine:
         # would only explode file counts (~B tiny files per wave) for no
         # pruning benefit. seen/ledger DO get bucket-pruned reads → their
         # deltas keep the bucket(url_hash) layout.
+        # Compaction splits the frontier log: live pending rows stay in
+        # the hot log; resolved TERMINAL rows move to frontier_archive
+        # (append-only history). Without the split, per-wave pending
+        # scans read all-time crawl history — terminal rows dominate the
+        # log at 10^10 URLs over thousands of waves even though per-wave
+        # writes are O(delta). With it, the hot log is proportional to
+        # the live frontier + deltas since the last compaction.
         B = self.config.n_buckets
         cat = TableCatalog(spark, workdir)
         cat.register("frontier", APPEND)
+        cat.register("frontier_archive", APPEND)
         cat.register("seen", BUCKET_APPEND, n_buckets=B)
         cat.register("ledger", BUCKET_APPEND, n_buckets=B)
         cat.register(
@@ -807,7 +830,13 @@ class CrawlEngine:
             # MOR logs are rewritten RESOLVED (superseded versions drop)
             with _T("compact"):
                 cat.compact("seen")
-                cat.compact("frontier", resolver=resolve_frontier)
+                # frontier: live pending rows stay hot, resolved terminal
+                # rows leave for the archive — the pending view then
+                # scans only live rows + post-compaction deltas instead
+                # of all-time crawl history
+                cat.compact_split(
+                    "frontier", "frontier_archive", _split_frontier
+                )
                 if cfg.cascade:
                     cat.compact(
                         "ledger",
@@ -853,9 +882,19 @@ class CrawlEngine:
 
     # -- resolved views ----------------------------------------------------
 
+    def frontier_log_full(self) -> DataFrame:
+        """The full frontier history: archived terminal rows ∪ the hot
+        log (live pending + post-compaction deltas). Without compaction
+        the archive is empty and this is just the log."""
+        return self.cat.read("frontier_archive", schemas.FRONTIER).unionByName(
+            self.cat.read("frontier", schemas.FRONTIER)
+        )
+
     def frontier_view(self) -> DataFrame:
-        """Current frontier state (merge-on-read resolution of the log)."""
-        return resolve_frontier(self.cat.read("frontier", schemas.FRONTIER))
+        """Current frontier state (merge-on-read resolution over the
+        full history — archived terminals win over their long-gone
+        pending versions exactly as in-log terminals do)."""
+        return resolve_frontier(self.frontier_log_full())
 
     def ledger_view(self) -> DataFrame:
         """Current ledger state (latest version per url_hash)."""

@@ -1,0 +1,97 @@
+"""Frontier hot-log / terminal-archive split: compaction must be
+invisible to crawl semantics while keeping the hot log free of old
+terminal history (the 100×-read-path requirement — per-wave pending
+scans must not read all-time crawled history)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.wave import CrawlConfig, CrawlEngine, resolve_frontier
+
+
+def _mk(spark, corpus_dir, work, compact_every):
+    return CrawlEngine(
+        spark,
+        str(work),
+        pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"),
+        config=CrawlConfig(
+            mode="fifo", batch_size=20, metrics=False, compact_every=compact_every
+        ),
+    )
+
+
+def _full_sig(engine):
+    # resolved over the FULL history (archive ∪ hot log): compaction
+    # legitimately drops superseded pending versions (that is what
+    # resolution means), so the invariant is resolved-state equality,
+    # not raw log row equality
+    return sorted(
+        (r["site_id"], r["canonical_url"], r["state"], r["seq"], r["processed_wave"])
+        for r in resolve_frontier(engine.frontier_log_full()).collect()
+    )
+
+
+def _seen_sig(engine):
+    return sorted(
+        (r["site_id"], r["url_hash"]) for r in engine.cat.read("seen").collect()
+    )
+
+
+def test_compacted_crawl_equals_uncompacted(spark, corpus, tmp_path_factory):
+    d = corpus["dir"]
+    plain = _mk(spark, d, tmp_path_factory.mktemp("cmp_plain"), compact_every=0)
+    comp = _mk(spark, d, tmp_path_factory.mktemp("cmp_comp"), compact_every=2)
+    plain.run(max_waves=6)
+    comp.run(max_waves=6)
+
+    # identical crawl semantics: full frontier history, seen set, crawled
+    assert _full_sig(comp) == _full_sig(plain)
+    assert _seen_sig(comp) == _seen_sig(plain)
+    c_sig = lambda e: sorted(  # noqa: E731
+        (r["site_id"], r["canonical_url"], r["wave"])
+        for r in e.cat.read("crawled").collect()
+    )
+    assert c_sig(comp) == c_sig(plain)
+
+    # the resolved views agree too
+    fv = lambda e: sorted(  # noqa: E731
+        (r["canonical_url"], r["state"]) for r in e.frontier_view().collect()
+    )
+    assert fv(comp) == fv(plain)
+
+    # scale property: after the last compaction at wave k, the hot log
+    # holds NO terminal row processed at or before k — old history lives
+    # only in the archive, so pending scans stop reading it
+    last_compact = max(
+        w for w in range(1, comp.cat.committed_wave + 1) if w % 2 == 0
+    )
+    hot = comp.cat.read("frontier")
+    stale_terminals = hot.filter(
+        (F.col("state") != "pending") & (F.col("processed_wave") <= last_compact)
+    ).count()
+    assert stale_terminals == 0
+    # and the archive is non-trivial (history actually moved out)
+    assert comp.cat.read("frontier_archive").count() > 0
+
+
+def test_resume_across_compaction(spark, corpus, tmp_path_factory):
+    """Kill-and-resume with compaction enabled must equal the
+    uninterrupted compacted run (checkpoint atomicity covers the
+    split-compaction's two-dir publish)."""
+    d = corpus["dir"]
+    work = tmp_path_factory.mktemp("cmp_resume")
+    e1 = _mk(spark, d, work, compact_every=2)
+    e1.bootstrap()
+    for _ in range(3):  # waves 1..3 — compaction fired at wave 2
+        e1.run_wave()
+    # simulate a crash: a fresh engine over the same workdir resumes
+    e2 = _mk(spark, d, work, compact_every=2)
+    assert e2.cat.committed_wave == 3
+    e2.run(max_waves=3)
+
+    ref = _mk(spark, d, tmp_path_factory.mktemp("cmp_resume_ref"), compact_every=2)
+    ref.run(max_waves=6)
+    assert _full_sig(e2) == _full_sig(ref)
+    assert _seen_sig(e2) == _seen_sig(ref)
