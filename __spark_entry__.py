@@ -489,6 +489,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cosine
             FROM read_parquet('/root/repo/tests/fixtures/ann_lsh_topk_sf0.01.parquet')
         """,
+        "multimodal_features": """
+            SELECT asset_id, kind, n_bytes, f0
+            FROM read_parquet('/root/repo/tests/fixtures/multimodal_features_sf0.01.parquet')
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

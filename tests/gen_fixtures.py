@@ -1,6 +1,6 @@
 """Generate the DuckDB-oracle fixture parquets for the deterministic
 pure-function queries (doc_fingerprint, gate_cascade, density_extract,
-minhash_pairs).
+minhash_pairs, simhash_pairs, ann_lsh_topk, multimodal_features).
 
 Run from the repo root:  python tests/gen_fixtures.py
 
@@ -255,6 +255,40 @@ def ann_lsh_topk_independent(
     return scored[:k]
 
 
+# --- multimodal features: independent fake-decode spec evaluation -----------
+
+def multimodal_features_independent(n: int = 48, seed: int = 42, dim: int = 16):
+    """Independent evaluation of the multimodal fake-decode contract:
+    the synthetic media stream is one ``default_rng(seed)`` drawing
+    ``256 + (i % 7) * 128`` payload bytes per asset (kinds cycling
+    image/audio/video), and the stand-in decoder seeds a fresh
+    ``default_rng`` from the first 8 little-endian bytes of
+    sha256(payload) and emits ``standard_normal(dim)`` in float32.
+    Output matches the queries() projection: (asset_id, kind, n_bytes,
+    f0 = first feature rounded to 4 with Spark ROUND's HALF_UP on the
+    shortest-repr double — NOT Python's banker's rounding)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        payload = rng.bytes(256 + (i % 7) * 128)
+        digest = hashlib.sha256(payload).digest()
+        fseed = int.from_bytes(digest[:8], "little")
+        feat0 = np.random.default_rng(fseed).standard_normal(dim).astype(np.float32)[0]
+        f0 = float(
+            Decimal(repr(float(feat0))).quantize(
+                Decimal("1e-4"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((i, kinds[i % 3], len(payload), f0))
+    return rows
+
+
 # --- minhash pairs: brute-force exact n-gram Jaccard ------------------------
 
 def _shingle_set(text: str | None, n: int = 3) -> set[str]:
@@ -347,11 +381,22 @@ def main() -> None:
     ann["vec_id"] = ann["vec_id"].astype("int64")
     ann.to_parquet(os.path.join(OUT_DIR, f"ann_lsh_topk_sf{SF}.parquet"), index=False)
 
+    mm = pd.DataFrame(
+        multimodal_features_independent(),
+        columns=["asset_id", "kind", "n_bytes", "f0"],
+    )
+    mm["asset_id"] = mm["asset_id"].astype("int64")
+    mm["n_bytes"] = mm["n_bytes"].astype("int64")
+    mm.to_parquet(
+        os.path.join(OUT_DIR, f"multimodal_features_sf{SF}.parquet"), index=False
+    )
+
     print(
         f"wrote fixtures for sf{SF} to {OUT_DIR}: "
         f"fingerprint={len(fp)} gate_cascade={len(gc)} "
         f"density={len(de)} minhash_pairs={len(mh)} "
-        f"simhash_pairs={len(sp)} ann_lsh_topk={len(ann)}"
+        f"simhash_pairs={len(sp)} ann_lsh_topk={len(ann)} "
+        f"multimodal_features={len(mm)}"
     )
 
 
