@@ -48,6 +48,19 @@ def build_session(
         # tiny relative to the frontier; let Spark broadcast them.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Long-running-driver hygiene: a crawl driver survives thousands
+        # of waves, each tens of jobs/SQL executions. The status store
+        # retains 1000 SQL executions by default — each holding full
+        # plan-graph descriptions (MBs for this engine's MOR-union
+        # plans), which alone exhausts the heap after ~40 waves — and the
+        # ContextCleaner's fallback periodic GC (which releases stale
+        # shuffle/broadcast state) defaults to 30min, longer than many
+        # runs. Keep bounded history and clean aggressively.
+        .config("spark.sql.ui.retainedExecutions", "30")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.driver.maxResultSize", "2g")
         # local-mode executor memory = driver memory; size it for real
         # (hash maps / sort buffers of the fetch join at bench scale)
