@@ -26,8 +26,12 @@ would rewrite TBs to add a delta):
   per key wins on read): each wave's delta is written hash-partitioned
   into ``d{wave}/_b={k}`` subdirs by ``pmod(url_hash, B)``; read = union
   of all committed deltas, ``read_buckets`` prunes to the buckets a join
-  actually probes. This is the parquet stand-in for appending to an
-  Iceberg table with a ``bucket(B, url_hash)`` partition transform.
+  actually probes. The checkpoint records each delta's bucket→leaf map
+  at commit time, so reads are manifest-driven — zero filesystem LIST
+  calls per read, which is what makes the MOR log viable on object
+  storage where listing thousands of delta dirs per wave would dominate.
+  This is the parquet stand-in for appending to an Iceberg table with a
+  ``bucket(B, url_hash)`` partition transform (manifests included).
 * ``BUCKET_REPLACE`` — mutable keyed state whose values are fixed-size
   per bucket (*seen_filters*: one Bloom blob per bucket): the checkpoint
   maps each bucket to its current version dir; an upsert stages new
@@ -103,12 +107,18 @@ class TableCatalog:
             with open(p) as f:
                 st = json.load(f)
             st.setdefault("buckets", {})
+            st.setdefault("delta_buckets", {})
             return st
         return {
             "wave": -1,
             "snapshots": {},
             "deltas": {},
             "buckets": {},
+            # BUCKET_APPEND manifest: {table: {delta_rel: {bucket: leaf_rel}}}
+            # — the bucket→file map is recorded once at commit time, so
+            # reads never LIST the filesystem (Iceberg-manifest behavior;
+            # on object storage per-read listing is the scaling hazard).
+            "delta_buckets": {},
             "committed_at": None,
         }
 
@@ -180,6 +190,15 @@ class TableCatalog:
                     out[int(d.split("=", 1)[1])] = f"{rel}/{d}"
         return out
 
+    def _delta_leaf_map(self, name: str, drel: str) -> dict[int, str]:
+        """bucket id → leaf rel-path for a BUCKET_APPEND delta, from the
+        checkpoint manifest (recorded at commit); FS discovery only for
+        deltas committed by a pre-manifest checkpoint."""
+        m = self._state.get("delta_buckets", {}).get(name, {}).get(drel)
+        if m is not None:
+            return {int(k): leaf for k, leaf in m.items()}
+        return self._leaf_buckets(drel)
+
     def commit(self, wave: int) -> None:
         """Atomically publish every staged table as wave ``wave``."""
         new_state = json.loads(json.dumps(self._state))
@@ -189,6 +208,13 @@ class TableCatalog:
                 new_state["snapshots"][name] = p["rel"]
             elif mode in (APPEND, BUCKET_APPEND):
                 new_state["deltas"].setdefault(name, []).append(p["rel"])
+                if mode == BUCKET_APPEND:
+                    # record the delta's bucket→leaf map (one LIST here,
+                    # zero LISTs on every subsequent read)
+                    new_state["delta_buckets"].setdefault(name, {})[p["rel"]] = {
+                        str(k): leaf
+                        for k, leaf in self._leaf_buckets(p["rel"]).items()
+                    }
             else:  # BUCKET_REPLACE: repoint only the touched bucket entries
                 found = self._leaf_buckets(p["rel"])
                 bmap = new_state["buckets"].setdefault(name, {})
@@ -260,7 +286,7 @@ class TableCatalog:
             rels = [
                 leaf
                 for drel in self._state["deltas"].get(name, [])
-                for leaf in sorted(self._leaf_buckets(drel).values())
+                for leaf in sorted(self._delta_leaf_map(name, drel).values())
             ]
         else:  # BUCKET_REPLACE
             rels = sorted(set(self._state["buckets"].get(name, {}).values()))
@@ -286,7 +312,7 @@ class TableCatalog:
             rels = [
                 leaf
                 for drel in self._state["deltas"].get(name, [])
-                for k, leaf in sorted(self._leaf_buckets(drel).items())
+                for k, leaf in sorted(self._delta_leaf_map(name, drel).items())
                 if k in want
             ]
         elif spec.mode == BUCKET_REPLACE:
@@ -329,6 +355,10 @@ class TableCatalog:
             df.write.mode("overwrite").parquet(path)
         new_state = json.loads(json.dumps(self._state))
         new_state["deltas"][name] = [rel]
+        if spec.mode == BUCKET_APPEND:
+            new_state["delta_buckets"][name] = {
+                rel: {str(k): leaf for k, leaf in self._leaf_buckets(rel).items()}
+            }
         tmp = self._ckpt_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_state, f, indent=1)
@@ -383,6 +413,12 @@ class TableCatalog:
         archive.write.mode("overwrite").parquet(arch_path)
         new_state = json.loads(json.dumps(self._state))
         new_state["deltas"][name] = [hot_rel]
+        if spec.mode == BUCKET_APPEND:
+            new_state["delta_buckets"][name] = {
+                hot_rel: {
+                    str(k): leaf for k, leaf in self._leaf_buckets(hot_rel).items()
+                }
+            }
         new_state["deltas"].setdefault(archive_name, []).append(arch_rel)
         tmp = self._ckpt_path() + ".tmp"
         with open(tmp, "w") as f:

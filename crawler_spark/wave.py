@@ -438,14 +438,26 @@ class CrawlEngine:
         """Distinct url_hash bucket ids present in ``df`` (driver-side,
         bounded by n_buckets rows — the partition-pruning predicate for
         read_buckets / the touched-bucket list for upserts)."""
+        _, buckets = self._count_and_buckets(df, n_buckets)
+        return buckets
+
+    def _count_and_buckets(
+        self, df: DataFrame, n_buckets: int
+    ) -> tuple[int, list[int]]:
+        """(row count, touched url_hash buckets) in ONE job: the wave loop
+        needs both next to each other twice (batch → n_batch + ledger
+        probe buckets; new_rows → n_new + seen/filter buckets), and a
+        separate ``count()`` + ``distinct().collect()`` pair costs two
+        driver-synchronous actions where one map-side-combined groupBy
+        (≤ n_buckets result rows) answers both."""
         rows = (
-            df.select(
+            df.groupBy(
                 F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int").alias("_b")
             )
-            .distinct()
+            .count()
             .collect()
         )
-        return sorted(r["_b"] for r in rows)
+        return sum(r["count"] for r in rows), sorted(r["_b"] for r in rows)
 
     def _metric(self, frames: list, wave: int, stage: str, df: DataFrame):
         if not self.config.metrics:
@@ -544,7 +556,9 @@ class CrawlEngine:
 
         batch = batch.drop("kb_gated").persist()
         with _T("batch.count"):
-            n_batch = batch.count()
+            # one action: materializes the batch into the block cache AND
+            # yields the ledger-probe bucket list for the change check
+            n_batch, batch_buckets = self._count_and_buckets(batch, cfg.n_buckets)
         if n_batch == 0:
             # everything pending was gated: consume it and commit the wave
             self._finish_wave_no_batch(w, pending, gated, blocked_keys)
@@ -600,7 +614,6 @@ class CrawlEngine:
         # The batch probes only its own url_hash buckets of the ledger —
         # bucket-pruned read, so the lookup cost tracks the batch size,
         # not the total number of pages ever processed.
-        batch_buckets = self._buckets_of(batch, cfg.n_buckets)
         led = resolve_ledger(
             cat.read_buckets("ledger", batch_buckets, schemas.LEDGER_LOG)
         ).select("url_hash", F.col("content_hash").alias("_old_hash"))
@@ -663,7 +676,11 @@ class CrawlEngine:
         # Read only the seen buckets the candidates can possibly match
         # (same-bucket-iff-same-hash) — the anti-join's right side scales
         # with the wave's candidate spread, not the full seen set.
-        cand_buckets = self._buckets_of(deduped, cfg.n_buckets)
+        with _T("deduped.buckets"):
+            # first action on the fetch→extract→explode pipeline: this is
+            # where the wave's CPU-heavy work actually executes (the
+            # extract UDF), not a bucket bookkeeping job
+            cand_buckets = self._buckets_of(deduped, cfg.n_buckets)
         seen_sub = cat.read_buckets("seen", cand_buckets, schemas.SEEN)
         if cfg.use_bloom:
             filters = cat.read("seen_filters", FILTERS_SCHEMA)
@@ -705,7 +722,9 @@ class CrawlEngine:
             with _T("deep.fresh.count"):
                 fresh.count()
         with _T("new_rows.count"):
-            n_new = new_rows.count()  # materialize once: staged 3x
+            # materialize once (staged 3x) + seen/filter delta buckets,
+            # one job
+            n_new, s_buckets = self._count_and_buckets(new_rows, cfg.n_buckets)
 
         # --- frontier / seen / stats updates ---------------------------------
         outcome = (
@@ -752,8 +771,6 @@ class CrawlEngine:
         seen_delta = new_rows.select(
             "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
         )
-        s_buckets = self._buckets_of(new_rows, cfg.n_buckets) if n_new else []
-
         scanned_delta = nonempty.groupBy("site_id").agg(
             F.count("*").alias("_d")
         )
@@ -841,7 +858,10 @@ class CrawlEngine:
         with _T("stage.all"):
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            # one worker per staged table: the writes are tiny independent
+            # jobs over cached inputs — with fewer workers than tables the
+            # tail tables wait a full scheduling round for no reason
+            with ThreadPoolExecutor(max_workers=max(4, len(stage_jobs))) as pool:
                 for fu in [
                     pool.submit(cat.stage, name, df, w, touched)
                     for name, df, touched in stage_jobs
