@@ -62,6 +62,13 @@ def build_session(
         .config("spark.ui.retainedTasks", "2000")
         .config("spark.cleaner.periodicGC.interval", "3min")
         .config("spark.driver.maxResultSize", "2g")
+        # MOR state reads pass explicit bucket-leaf dirs (tableio
+        # manifests); above this many paths Spark spawns a distributed
+        # file-listing job whose scheduling overhead exceeds a local
+        # driver-side listing. Compaction keeps path counts bounded;
+        # on object storage an Iceberg backend replaces listing with
+        # file-level manifests entirely.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         # local-mode executor memory = driver memory; size it for real
         # (hash maps / sort buffers of the fetch join at bench scale)
         .config("spark.driver.memory", driver_mem)

@@ -292,13 +292,23 @@ class TableCatalog:
             rels = sorted(set(self._state["buckets"].get(name, {}).values()))
         return [os.path.join(self.root, r) for r in rels]
 
+    def _read_paths(self, paths: list[str], schema: StructType | None) -> DataFrame:
+        # Supplying the registered schema skips parquet footer-based
+        # schema inference — one less read-side job per wave, and the
+        # engine's table schemas are authoritative anyway (staged writes
+        # are projected to them).
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
     def read(self, name: str, schema: StructType | None = None) -> DataFrame:
         """Read the committed state of a table (empty DF if never written)."""
         paths = self._paths(name)
         if not paths:
             assert schema is not None, f"no committed data and no schema for {name}"
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(paths, schema)
 
     def read_buckets(
         self, name: str, buckets: list[int], schema: StructType | None = None
@@ -323,7 +333,7 @@ class TableCatalog:
         if not rels:
             assert schema is not None, f"no committed buckets and no schema for {name}"
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+        return self._read_paths([os.path.join(self.root, r) for r in rels], schema)
 
     # -- maintenance ---------------------------------------------------
 
