@@ -26,6 +26,11 @@ import os
 import sys
 import time
 
+# Module-level so pandas_udf type-hint resolution (PEP 563 stringified
+# annotations are looked up in module globals) can see them.
+import numpy as np
+import pandas as pd
+
 
 def _corpus(n_pages: int, page_scale: int = 1) -> str:
     """Generate (once, cached) the synthetic web at the bench scale."""
@@ -480,6 +485,178 @@ def lsh_scale() -> None:
         )
 
 
+def emb_scale() -> None:
+    """Embedding-LSH near-dup bench in its actual PRUNING regime.
+
+    The queries() correctness entry runs the EXACT operator; the LSH
+    scale path is validated here on a corpus where brute force is
+    already painful: the sf0.1 embeddings table replicated with
+    per-copy deterministic sign flips (a sign flip is an isometry —
+    intra-copy geometry is preserved, cross-copy cosines decorrelate,
+    so buckets grow the way fresh data would) plus 1% planted
+    near-dup twins (jittered copies at cosine ~0.97-0.99).
+
+    Parameters are in the pruning regime for production thresholds
+    (0.9 cosine): 64 bands x 32 bits. A random (near-orthogonal) pair
+    band-collides with p ~ 64 * 2^-32 = 1.5e-8 — the quadratic
+    candidate term is ~1.5e-8 * n^2/2, i.e. under ~8 junk candidates
+    PER ROW even at 10^9 rows (and bits grows with log n). A
+    0.98-cosine twin agrees on one 32-bit band with p ~ 0.943^32 =
+    0.153 -> recall 1-(1-0.153)^64 ~ 0.99998. (A first cut at 16
+    bands x 16 bits showed why band width matters: p_random = 2.4e-4
+    -> 1.2M junk candidates at 101k rows and a 32x time blow-up at
+    10x rows; 32-bit bands removed it.) Reported: wall time, output
+    pairs, planted-twin recall at each scale.
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    threshold = float(os.environ.get("BENCH_EMB_THRESHOLD", "0.9"))
+    n_bands = int(os.environ.get("BENCH_EMB_BANDS", "64"))
+    bits = int(os.environ.get("BENCH_EMB_BITS", "32"))
+    rounds = int(os.environ.get("BENCH_EMB_ROUNDS", "3"))
+    spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from crawler_spark.operators.similarity import embedding_neardup_pairs
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    dim = len(base.first()["embedding"])
+    twin_offset = 1_000_000_000
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def flip(vecs: pd.Series, copies: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vecs.to_numpy()).astype(np.float32)
+        out = np.empty_like(m)
+        for c in copies.unique():
+            sign = np.where(
+                np.random.default_rng(int(c)).random(m.shape[1]) < 0.5, -1.0, 1.0
+            ).astype(np.float32)
+            idx = (copies == c).to_numpy()
+            out[idx] = m[idx] * sign
+        return pd.Series(list(out))
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def jitter(vecs: pd.Series, ids: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(vecs.to_numpy()).astype(np.float32)
+        noise = np.stack(
+            [
+                np.random.default_rng(int(i)).standard_normal(m.shape[1])
+                for i in ids
+            ]
+        ).astype(np.float32)
+        out = m + 0.18 * noise / np.linalg.norm(noise, axis=1, keepdims=True)
+        out /= np.linalg.norm(out, axis=1, keepdims=True)
+        return pd.Series(list(out))
+
+    out = {
+        "base_rows": n_base, "dim": dim, "cpus": cpus,
+        "threshold": threshold, "n_bands": n_bands, "bits_per_band": bits,
+        "scales": {},
+    }
+    for mult in (5, 15, 50):
+        body = (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("_copy")))
+            .select(
+                (F.col("vec_id") + F.col("_copy") * 10_000_000).alias("vec_id"),
+                flip("embedding", "_copy").alias("embedding"),
+            )
+        )
+        twins = body.filter(F.col("vec_id") % 100 == 0).select(
+            (F.col("vec_id") + twin_offset).alias("vec_id"),
+            jitter("embedding", "vec_id").alias("embedding"),
+        )
+        # the 2k-row parquet base reads as 1 partition and crossJoin
+        # inherits it — spread the replicated corpus before timing or
+        # the signature UDF runs serially
+        df = body.unionByName(twins).repartition(cpus * 2).persist()
+        n_rows = df.count()
+        # true positives among planted twins (pair cosine >= threshold
+        # after jitter) — O(planted) equi-join, the recall denominator
+        orig = body.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        )
+        tw = twins.select(
+            (F.col("vec_id") - twin_offset).alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+        )
+        dot = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        planted = (
+            orig.join(tw, "id_a")
+            .select("id_a", "id_b", dot.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+        n_planted = planted.count()
+        # best-of-N: shared noisy host, same mitigation as --scaling
+        t = None
+        for _ in range(rounds):
+            t0 = time.time()
+            pairs = embedding_neardup_pairs(
+                df, threshold=threshold, n_bands=n_bands, bits_per_band=bits, seed=7
+            ).persist()
+            n_pairs = pairs.count()
+            t1 = time.time() - t0
+            t = t1 if t is None else min(t, t1)
+            found = pairs.filter(
+                (F.col("id_b") - F.col("id_a")) == twin_offset
+            ).count()
+            pairs.unpersist()
+        df.unpersist()
+        recall = round(found / n_planted, 4) if n_planted else None
+        out["scales"][str(mult)] = {
+            "rows": n_rows, "sec": round(t, 2), "pairs": n_pairs,
+            "planted": n_planted, "recalled": found, "recall": recall,
+        }
+        print(json.dumps({"scale": mult, **out["scales"][str(mult)]}), flush=True)
+    s_lo = out["scales"]["5"]
+    s_hi = out["scales"]["50"]
+    out["time_ratio_10x"] = round(s_hi["sec"] / max(0.01, s_lo["sec"]), 2)
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/EMB_SCALE.md", "w") as f:
+        f.write(
+            "# Embedding-LSH near-dup: pruning-regime scaling + recall\n\n"
+            "The correctness contract for embedding near-dup is the EXACT\n"
+            "operator (queries()['embedding_neardup'] vs a brute-force\n"
+            "oracle). This bench validates the approximate scale path in\n"
+            "its actual pruning regime — production threshold "
+            f"{threshold}, {n_bands} bands x {bits} bits — on the sf0.1\n"
+            "embeddings replicated with per-copy sign flips (isometric:\n"
+            "intra-copy geometry preserved, cross-copy cosines\n"
+            "decorrelate) plus 1% planted jittered twins.\n\n"
+            "| rows | sec | output pairs | planted (>= thr) | recalled | recall |\n"
+            "|---|---|---|---|---|---|\n"
+            + "".join(
+                "| {:,} | {} | {} | {} | {} | {} |\n".format(
+                    v["rows"], v["sec"], v["pairs"], v["planted"],
+                    v["recalled"], v["recall"],
+                )
+                for v in out["scales"].values()
+            )
+            + f"\n- 10x rows -> time x{out['time_ratio_10x']} (a quadratic "
+            "candidate join would show ~100x; banded "
+            f"{bits}-bit signatures keep random collisions at "
+            f"~{n_bands}/2^{bits} per pair, so the quadratic term stays "
+            "below the linear work at any realistic corpus size)\n"
+            f"- local[{cpus}], best of {rounds} rounds per scale (shared "
+            "noisy host — same mitigation as --scaling); candidate "
+            "generation shuffles ids only (vectors re-joined for "
+            "candidates — minhash-shaped plan)\n"
+        )
+
+
 def longrun() -> None:
     """Long-run compaction evidence: many waves at fixed batch size, with
     the frontier hot-log/terminal-archive split compaction enabled,
@@ -640,6 +817,8 @@ if __name__ == "__main__":
         growth()
     elif "--lsh-scale" in sys.argv:
         lsh_scale()
+    elif "--emb-scale" in sys.argv:
+        emb_scale()
     elif "--longrun" in sys.argv:
         longrun()
     else:

@@ -333,11 +333,15 @@ def simhash_pairs(
     return (
         l.join(rgt, ["blk", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
+        # popcount verify BEFORE the pair-dedup: the signatures ride the
+        # candidate rows anyway (16 bytes), so verifying inside the join
+        # stage costs nothing and the distinct() then shuffles only TRUE
+        # pairs instead of every block collision (which a wide
+        # max_hamming makes plentiful)
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

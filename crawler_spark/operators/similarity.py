@@ -174,37 +174,56 @@ def embedding_neardup_pairs(
     """Pairs with cosine ≥ threshold, candidate-limited to pairs sharing
     at least one LSH band (banded random-hyperplane signatures — the
     multi-hash-table construction, so the self-join is an equi-join on
-    (band, signature) and never goes quadratic in the corpus).
+    (band, signature) instead of an all-pairs cross).
 
     Tuning: a pair at angle θ shares one b-bit band with probability
     (1−θ/π)^b, and survives n bands with 1−(1−(1−θ/π)^b)^n. Production
-    near-dup thresholds (≥0.9 cosine) prune hard with few wide bands
-    (e.g. 4×16 bits); low-threshold regimes need many narrow bands
-    (e.g. 16×2 bits) to keep recall — at which point pruning is modest,
-    as it must be: near-orthogonal 'duplicates' are not LSH-friendly.
-    Exact cosine is recomputed on candidates, so precision is always 1.
+    near-dup thresholds (≥0.9 cosine) prune hard with few wide bands;
+    low-threshold regimes need many narrow bands to keep recall — at
+    which point pruning is modest, as it must be: near-orthogonal
+    'duplicates' are not LSH-friendly.
+
+    Scale note (measured, BENCH/EMB_SCALE.md): the RANDOM-pair
+    collision term n·2^−b × |pairs| is still quadratic in the corpus —
+    with 16-bit bands it dominated a 101k-row corpus (1.2M junk
+    candidates, 32× time at 10× rows). Size b ≳ log2(n_rows) + margin
+    so the quadratic term stays below the linear work (64 bands × 32
+    bits held recall 1.0 with ~linear time there); raise n to buy back
+    recall. Exact cosine is recomputed on candidates, so precision is
+    always 1.
     """
     first = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).first()
     if first is None:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cosine double")
     dim = len(first["v"])
     sig_udf = band_signatures_udf(dim, n_bands, bits_per_band, seed)
-    s = df.select(
+    # Candidate generation carries IDS ONLY (same shape as the MinHash
+    # path): the banded self-join and the pair-dedup shuffle rows of
+    # (id, band, sig), never the vectors — with n_bands tables the
+    # vector payload would otherwise be shuffled n_bands× through the
+    # join and again through dropDuplicates. Vectors are re-joined only
+    # for the (much smaller, pruning-regime-bounded) candidate set.
+    banded = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("band", "sig"),
     )
-    a = s.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "sig")
-    b = s.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "sig")
+    cands = (
+        banded.select(F.col("id").alias("id_a"), "band", "sig")
+        .join(banded.select(F.col("id").alias("id_b"), "band", "sig"), ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may share several bands
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates([ "id_a", "id_b"])  # a pair may share several bands
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(dot / (na * nb), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
