@@ -404,11 +404,18 @@ class TableCatalog:
         aspec = self.tables[archive_name]
         assert spec.mode in (APPEND, BUCKET_APPEND), f"{name}: compact needs an append mode"
         assert aspec.mode == APPEND, f"{archive_name}: archive must be APPEND"
-        if not self._state["deltas"].get(name):
+        rels = self._state["deltas"].get(name)
+        if not rels:
             return
-        hot, archive = split(self.read(name))
         wave = self._state["wave"]
         hot_rel = f"{name}/c{wave}"
+        if rels == [hot_rel]:
+            # already compacted at this committed wave (crash-retry or a
+            # double call): re-splitting would route nothing new, and the
+            # rmtree below would delete the very dir the lazy `hot` plan
+            # reads from
+            return
+        hot, archive = split(self.read(name))
         arch_rel = f"{archive_name}/dc{wave}"
         hot_path = os.path.join(self.root, hot_rel)
         if os.path.exists(hot_path):

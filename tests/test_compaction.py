@@ -76,6 +76,33 @@ def test_compacted_crawl_equals_uncompacted(spark, corpus, tmp_path_factory):
     assert comp.cat.read("frontier_archive").count() > 0
 
 
+def test_compact_split_rerun_is_noop(spark, corpus, tmp_path_factory):
+    """Re-running split-compaction at the same committed wave (crash
+    retry / double call) must be a no-op — naively it would rmtree the
+    consolidated hot dir its own lazy input reads from."""
+    d = corpus["dir"]
+    eng = _mk(spark, d, tmp_path_factory.mktemp("cmp_rerun"), compact_every=2)
+    eng.bootstrap()
+    for _ in range(2):  # compaction fired at wave 2
+        eng.run_wave()
+    before_full = _full_sig(eng)
+    before_hot = sorted(
+        (r["canonical_url"], r["state"])
+        for r in eng.cat.read("frontier").collect()
+    )
+    from crawler_spark.wave import _split_frontier
+
+    eng.cat.compact_split("frontier", "frontier_archive", _split_frontier)
+    assert _full_sig(eng) == before_full
+    assert (
+        sorted(
+            (r["canonical_url"], r["state"])
+            for r in eng.cat.read("frontier").collect()
+        )
+        == before_hot
+    )
+
+
 def test_resume_across_compaction(spark, corpus, tmp_path_factory):
     """Kill-and-resume with compaction enabled must equal the
     uninterrupted compacted run (checkpoint atomicity covers the
