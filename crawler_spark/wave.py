@@ -691,9 +691,14 @@ class CrawlEngine:
         # per-site seq high-water mark carried in site_stats — no
         # full-frontier aggregate per wave
         max_seq = stats.select("site_id", F.col("max_seq").alias("_max_seq"))
-        new_rows = assign_seq(
-            fresh, max_seq, distributed=cfg.distributed_seq, n_parts=cfg.n_buckets
-        ).select(
+        with _T("assign_seq"):
+            # distributed=True runs its per-bucket counts collect here —
+            # the first action over the seen anti-join (bloom probe +
+            # bucket-pruned exact join), so that cost lands in this timer
+            seq_rows = assign_seq(
+                fresh, max_seq, distributed=cfg.distributed_seq, n_parts=cfg.n_buckets
+            )
+        new_rows = seq_rows.select(
             "url",
             "canonical_url",
             "url_hash",
@@ -762,8 +767,16 @@ class CrawlEngine:
         # Nothing is read back, nothing existing is rewritten — per-wave
         # frontier WRITE cost is O(delta) regardless of frontier size
         # (the 100×-scale fix for the full-snapshot rewrite).
+        # coalesce: the union stacks six+ branch partitionings (~7×
+        # n_buckets partitions of a few-KB each) — written as-is that is
+        # ~200 write tasks and ~200 tiny files PER WAVE that every later
+        # frontier read re-unions; coalesce (no shuffle) bounds the delta
+        # to n_buckets tasks/files while keeping the write parallel
         frontier_delta = (
-            outcome.select(*FRONTIER_COLS).unionByName(new_rows).persist()
+            outcome.select(*FRONTIER_COLS)
+            .unionByName(new_rows)
+            .coalesce(cfg.n_buckets)
+            .persist()
         )
 
         # seen is append-only: stage just this wave's delta (elided
@@ -853,7 +866,9 @@ class CrawlEngine:
             allm = mframes[0]
             for m in mframes[1:]:
                 allm = allm.unionByName(m)
-            stage_jobs.append(("metrics", allm, None))
+            # same union-stacking as frontier_delta: bound the tiny
+            # metrics delta to one write task per bucket
+            stage_jobs.append(("metrics", allm.coalesce(cfg.n_buckets), None))
 
         with _T("stage.all"):
             from concurrent.futures import ThreadPoolExecutor
