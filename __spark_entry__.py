@@ -310,7 +310,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     exact cosine on candidates — precision 1, recall tuned by band
     parameters). Rows-only driver check by design; recall is asserted
     against the exact operator in tests/test_similarity_textstats.py
-    and throughput in BENCH/LSH_SCALE.md."""
+    and throughput in BENCH/EMB_SCALE.md (bench.py --emb-scale)."""
     from crawler_spark.operators.similarity import embedding_neardup_pairs
 
     e = (

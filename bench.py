@@ -522,7 +522,7 @@ def emb_scale() -> None:
     threshold = float(os.environ.get("BENCH_EMB_THRESHOLD", "0.9"))
     n_bands = int(os.environ.get("BENCH_EMB_BANDS", "64"))
     bits = int(os.environ.get("BENCH_EMB_BITS", "32"))
-    rounds = int(os.environ.get("BENCH_EMB_ROUNDS", "3"))
+    rounds = max(1, int(os.environ.get("BENCH_EMB_ROUNDS", "3")))
     spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, FloatType

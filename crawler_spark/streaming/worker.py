@@ -29,6 +29,13 @@ never recorded):
   skipped outright, which both prevents the additive KB merge from
   double-counting and never restages (→ never rmtree's) a dir the
   committed catalog checkpoint references;
+* batch ids are only comparable WITHIN one streaming-checkpoint
+  lineage (a recreated checkpoint restarts ids at 0 over different
+  batch contents), so the catalog and the sink dir are bound to the
+  query id Spark persists in ``checkpoint_dir/metadata`` on the first
+  batch; a later run under a different checkpoint fails fast instead
+  of silently skipping feedback / overwriting mismatched batch_id
+  partitions;
 * the ledger is a BUCKET_APPEND merge-on-read log exactly like the
   batch engine's (wave.py design): each batch appends only its own
   version rows, latest wave per url_hash wins on read
@@ -37,13 +44,16 @@ never recorded):
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.operators.cascade import run_cascade
 from crawler_spark.operators.kb import merge_kb, wave_kb_delta
 from crawler_spark.tableio import BUCKET_APPEND, REPLACE, TableCatalog
+from crawler_spark.wave import resolve_ledger
 
 
 def make_feedback_catalog(
@@ -61,13 +71,71 @@ def make_feedback_catalog(
 
 
 def read_ledger_state(cat: TableCatalog) -> DataFrame:
-    """Resolved ledger state (latest wave per url_hash) → LEDGER shape."""
-    log = cat.read("ledger", schemas.LEDGER_LOG)
-    return (
-        log.groupBy("url_hash")
-        .agg(F.max(F.struct("wave", "url", "content_hash")).alias("_s"))
-        .select("url_hash", "_s.url", "_s.content_hash")
-    )
+    """Resolved ledger state (latest wave per url_hash) → LEDGER shape.
+
+    Delegates to the batch engine's :func:`~crawler_spark.wave.
+    resolve_ledger` — ONE copy of the merge-on-read resolution rule, so
+    streaming and batch resolved ledgers cannot diverge."""
+    return resolve_ledger(cat.read("ledger", schemas.LEDGER_LOG))
+
+
+def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The query id Spark persists in ``<checkpoint>/metadata`` at query
+    start ({"id": "<uuid>"}): stable across restarts from the same
+    checkpoint, regenerated when the checkpoint is recreated — i.e. the
+    identity of the batch-id numbering the replay guard compares
+    against."""
+    path = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(path) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
+
+
+def _bind_stream_identity(
+    qid: str | None, out_dir: str, cat: TableCatalog | None
+) -> None:
+    """Fail fast if this stream's checkpoint lineage is not the one the
+    sinks / feedback catalog were written under.
+
+    batch_id-keyed idempotence (partition overwrite, committed-counter
+    skip) is only sound within one checkpoint lineage: a recreated
+    checkpoint re-batches the source from scratch, so batch 3 no longer
+    means the same rows. First batch binds the query id (sink marker
+    file + catalog meta, published with the batch's atomic commit); a
+    mismatch later raises instead of silently dropping feedback or
+    overwriting foreign batch_id partitions."""
+    if qid is None:  # metadata not readable — cannot verify, don't guess
+        return
+    marker = os.path.join(out_dir, "_stream_identity.json")
+    prev = None
+    try:
+        with open(marker) as f:
+            prev = json.load(f).get("query_id")
+    except (OSError, ValueError):
+        pass
+    if prev is not None and prev != qid:
+        raise RuntimeError(
+            f"streaming sink {out_dir} was written by query {prev} but this "
+            f"stream runs under a different checkpoint lineage ({qid}); "
+            "reuse the original checkpoint dir or point the stream at a "
+            "fresh out_dir/state_dir"
+        )
+    if prev is None:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"query_id": qid}, f)
+    if cat is not None:
+        bound = cat.get_meta("stream_query_id")
+        if bound is not None and bound != qid:
+            raise RuntimeError(
+                f"feedback catalog at {cat.root} holds state committed under "
+                f"query {bound}; refusing batch-id replay guard against a "
+                f"different checkpoint lineage ({qid})"
+            )
+        if bound is None:
+            cat.set_meta("stream_query_id", qid)
 
 
 def start_stream_cascade(
@@ -103,6 +171,11 @@ def start_stream_cascade(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # the metadata file exists by the time the first batch runs
+        # (Spark writes it at query start, before any batch executes)
+        _bind_stream_identity(
+            _checkpoint_query_id(checkpoint_dir), out_dir, feedback_catalog
+        )
         if batch_df.isEmpty():
             return
         # wave=None: each row keys packets/ledger by its own wave column

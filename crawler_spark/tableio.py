@@ -95,6 +95,7 @@ class TableCatalog:
         os.makedirs(self.root, exist_ok=True)
         self._state = self._load_checkpoint()
         self._lock = threading.Lock()
+        self._pending_meta: dict = {}
 
     # -- checkpoint ----------------------------------------------------
 
@@ -231,14 +232,47 @@ class TableCatalog:
                             bmap.pop(str(k), None)  # bucket emptied
         new_state["wave"] = wave
         new_state["committed_at"] = time.time()
+        if self._pending_meta:
+            new_state.setdefault("meta", {}).update(self._pending_meta)
+        self._write_checkpoint(new_state)  # the atomic commit point
+        self._pending = {}
+        self._pending_meta = {}
+        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
+            self._vacuum()
+
+    def _write_checkpoint(self, new_state: dict) -> None:
+        """Publish ``new_state`` via write-temp + atomic ``os.replace`` —
+        the single copy of the commit protocol (commit/compact/
+        compact_split all publish through here)."""
         tmp = self._ckpt_path() + ".tmp"
         with open(tmp, "w") as f:
             json.dump(new_state, f, indent=1)
-        os.replace(tmp, self._ckpt_path())  # the atomic commit point
+        os.replace(tmp, self._ckpt_path())
         self._state = new_state
-        self._pending = {}
-        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
-            self._vacuum()
+
+    def _vacuum_deltas(self, name: str) -> None:
+        """Delete an append table's d*/c* dirs that the committed
+        checkpoint no longer references (post-compaction cleanup; also
+        reclaims dirs orphaned by a crash between a compaction write and
+        its checkpoint publish)."""
+        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") != "0":
+            return
+        keep = set(self._state["deltas"].get(name, []))
+        tdir = os.path.join(self.root, name)
+        if not os.path.isdir(tdir):
+            return
+        for d in os.listdir(tdir):
+            if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+
+    def set_meta(self, key: str, value) -> None:
+        """Stage a catalog-level metadata entry (published atomically
+        with the next commit)."""
+        with self._lock:
+            self._pending_meta[key] = value
+
+    def get_meta(self, key: str, default=None):
+        return self._state.get("meta", {}).get(key, default)
 
     def _vacuum(self) -> None:
         """Delete version dirs the committed checkpoint no longer references.
@@ -369,23 +403,16 @@ class TableCatalog:
             new_state["delta_buckets"][name] = {
                 rel: {str(k): leaf for k, leaf in self._leaf_buckets(rel).items()}
             }
-        tmp = self._ckpt_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_state, f, indent=1)
-        os.replace(tmp, self._ckpt_path())
-        self._state = new_state
-        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
-            keep = set(new_state["deltas"][name])
-            tdir = os.path.join(self.root, name)
-            for d in os.listdir(tdir):
-                if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        self._write_checkpoint(new_state)
+        self._vacuum_deltas(name)
 
-    def compact_split(self, name: str, archive_name: str, split) -> None:
+    def compact_split(self, name: str, archive_name: str, resolver, hot_filter) -> None:
         """Compact a merge-on-read log ``name`` by ROUTING resolved rows:
-        ``split(df) -> (hot_df, archive_df)`` — ``hot_df`` becomes the
-        log's single consolidated delta, ``archive_df`` is appended as a
-        new delta of ``archive_name`` (a plain APPEND history table).
+        ``resolver(log_df)`` is the log's merge-on-read resolution (run
+        ONCE, persisted across both output writes), rows matching
+        ``hot_filter`` become the log's single consolidated delta, the
+        rest are appended as a new delta of ``archive_name`` (a plain
+        APPEND history table).
 
         This is the 100×-read-path fix for logs whose resolved state
         partitions into a small LIVE set and an ever-growing TERMINAL
@@ -399,7 +426,8 @@ class TableCatalog:
         Crash-safe like commit: both consolidated dirs are fully
         written before one atomic checkpoint os.replace publishes them;
         a crash mid-compaction leaves stale c/dc dirs that the retry
-        rmtree's."""
+        (same wave) rmtree's and the next compaction's delta vacuum
+        (later wave) reclaims — for BOTH the hot and the archive table."""
         spec = self.tables[name]
         aspec = self.tables[archive_name]
         assert spec.mode in (APPEND, BUCKET_APPEND), f"{name}: compact needs an append mode"
@@ -415,19 +443,28 @@ class TableCatalog:
             # rmtree below would delete the very dir the lazy `hot` plan
             # reads from
             return
-        hot, archive = split(self.read(name))
-        arch_rel = f"{archive_name}/dc{wave}"
-        hot_path = os.path.join(self.root, hot_rel)
-        if os.path.exists(hot_path):
-            shutil.rmtree(hot_path)
-        if spec.mode == BUCKET_APPEND:
-            self._write_bucketed(hot, spec, hot_path)
-        else:
-            hot.write.mode("overwrite").parquet(hot_path)
-        arch_path = os.path.join(self.root, arch_rel)
-        if os.path.exists(arch_path):
-            shutil.rmtree(arch_path)
-        archive.write.mode("overwrite").parquet(arch_path)
+        # Resolve ONCE and persist: hot and archive are two filters of
+        # the same resolved plan, and their writes are two independent
+        # actions — without the persist each write would re-scan every
+        # log delta and re-run the resolution shuffles.
+        resolved = resolver(self.read(name)).persist()
+        try:
+            hot = resolved.filter(hot_filter)
+            archive = resolved.filter(~hot_filter)
+            arch_rel = f"{archive_name}/dc{wave}"
+            hot_path = os.path.join(self.root, hot_rel)
+            if os.path.exists(hot_path):
+                shutil.rmtree(hot_path)
+            if spec.mode == BUCKET_APPEND:
+                self._write_bucketed(hot, spec, hot_path)
+            else:
+                hot.write.mode("overwrite").parquet(hot_path)
+            arch_path = os.path.join(self.root, arch_rel)
+            if os.path.exists(arch_path):
+                shutil.rmtree(arch_path)
+            archive.write.mode("overwrite").parquet(arch_path)
+        finally:
+            resolved.unpersist()
         new_state = json.loads(json.dumps(self._state))
         new_state["deltas"][name] = [hot_rel]
         if spec.mode == BUCKET_APPEND:
@@ -437,17 +474,12 @@ class TableCatalog:
                 }
             }
         new_state["deltas"].setdefault(archive_name, []).append(arch_rel)
-        tmp = self._ckpt_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_state, f, indent=1)
-        os.replace(tmp, self._ckpt_path())
-        self._state = new_state
-        if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
-            keep = set(new_state["deltas"][name])
-            tdir = os.path.join(self.root, name)
-            for d in os.listdir(tdir):
-                if (d.startswith("d") or d.startswith("c")) and f"{name}/{d}" not in keep:
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        self._write_checkpoint(new_state)
+        self._vacuum_deltas(name)
+        # also reclaim archive-side dc* dirs orphaned by a crash between
+        # the archive write and the checkpoint publish of an EARLIER
+        # compaction (the retry path only covers a same-wave rerun)
+        self._vacuum_deltas(archive_name)
 
     def destroy(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -22,10 +22,11 @@ iterative loop's plans stay flat.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark import schemas
@@ -84,23 +85,24 @@ def resolve_ledger(log: DataFrame) -> DataFrame:
         .select("url_hash", "_s.url", "_s.content_hash")
     )
 
-def _split_frontier(log: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Compaction splitter: (hot = live pending rows, archive = resolved
-    terminal rows). A frontier key appears pending at most once and
-    terminal at most once (rows transition exactly once and the seen
-    set stops re-discovery), so routing terminals out preserves the
-    merge-on-read resolution: after the split, a hot pending row's
-    terminal version — if it exists at all — is always in a
-    post-compaction delta."""
-    resolved = resolve_frontier(log)
-    return (
-        resolved.filter(F.col("state") == "pending"),
-        resolved.filter(F.col("state") != "pending"),
-    )
+def frontier_hot() -> Column:
+    """Compaction routing predicate for the frontier log: hot = live
+    pending rows, archive = resolved terminal rows. A frontier key
+    appears pending at most once and terminal at most once (rows
+    transition exactly once and the seen set stops re-discovery), so
+    routing terminals out preserves the merge-on-read resolution: after
+    the split, a hot pending row's terminal version — if it exists at
+    all — is always in a post-compaction delta. (A function, not a
+    module constant: building a Column requires an active session.)"""
+    return F.col("state") == "pending"
 
 
 _PROFILE = os.environ.get("SPARK_GRAFT_PROFILE", "0") != "0"
 _PROFILE_DEEP = os.environ.get("SPARK_GRAFT_PROFILE") == "2"
+
+# Serializes run_wave's session-scoped AQE save/toggle/restore across
+# engines sharing one SparkSession (see run_wave docstring).
+_WAVE_CONF_LOCK = threading.Lock()
 
 
 class _T:
@@ -478,19 +480,25 @@ class CrawlEngine:
         """Execute wave ``committed_wave + 1``; returns wave summary.
 
         Runs with AQE per ``config.adaptive_in_wave`` (see CrawlConfig)
-        and restores the session's prior setting afterwards, so wave
-        execution does not leak config into ad-hoc queries on the same
-        session."""
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled", "true")
-        conf.set(
-            "spark.sql.adaptive.enabled",
-            "true" if self.config.adaptive_in_wave else "false",
-        )
-        try:
-            return self._run_wave_impl()
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+        and restores the session's prior setting afterwards. The toggle
+        is necessarily session-scoped (Spark has no per-query SQL conf),
+        so concurrent waves serialize on a process-wide lock to keep the
+        save/restore pairs from clobbering each other; a caller that
+        runs OTHER work concurrently with a wave on the same
+        SparkSession (e.g. the streaming worker, ad-hoc analytics)
+        should hand the engine its own ``spark.newSession()`` — separate
+        SQLConf, shared SparkContext — for true isolation."""
+        with _WAVE_CONF_LOCK:
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.adaptive.enabled", "true")
+            conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if self.config.adaptive_in_wave else "false",
+            )
+            try:
+                return self._run_wave_impl()
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev)
 
     def _run_wave_impl(self) -> dict:
         w = self.cat.committed_wave + 1
@@ -897,7 +905,7 @@ class CrawlEngine:
                 # scans only live rows + post-compaction deltas instead
                 # of all-time crawl history
                 cat.compact_split(
-                    "frontier", "frontier_archive", _split_frontier
+                    "frontier", "frontier_archive", resolve_frontier, frontier_hot()
                 )
                 if cfg.cascade:
                     cat.compact(

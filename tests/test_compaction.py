@@ -90,9 +90,11 @@ def test_compact_split_rerun_is_noop(spark, corpus, tmp_path_factory):
         (r["canonical_url"], r["state"])
         for r in eng.cat.read("frontier").collect()
     )
-    from crawler_spark.wave import _split_frontier
+    from crawler_spark.wave import frontier_hot, resolve_frontier
 
-    eng.cat.compact_split("frontier", "frontier_archive", _split_frontier)
+    eng.cat.compact_split(
+        "frontier", "frontier_archive", resolve_frontier, frontier_hot()
+    )
     assert _full_sig(eng) == before_full
     assert (
         sorted(

@@ -116,15 +116,24 @@ def test_stream_feedback_state_equals_batch(spark, corpus, tmp_path_factory):
     assert pk_waves <= set(waves)
     assert max(pk_waves) > 0  # wave 2/3 packets keep their real wave id
 
-    # replay safety: re-draining the SAME crawled data with a FRESH
-    # streaming checkpoint (the worst case — every batch replays) must
-    # leave the feedback state bit-identical: the catalog's committed
-    # batch counter skips already-applied batches, so the additive KB
-    # merge never double-counts and no committed dir is restaged.
+    # replay safety WITHIN the checkpoint lineage: delete the latest
+    # commits/ entry — the exact crash window (catalog committed, Spark
+    # never recorded batch completion) — and restart from the SAME
+    # checkpoint. foreachBatch re-runs that batch; the catalog's
+    # committed batch counter skips it, so the additive KB merge never
+    # double-counts and no committed dir is restaged.
+    import os
+
     n_packets_before = pk.count()
-    ckpt2 = tmp_path_factory.mktemp("stream_ckpt3_replay")
+    commits = sorted(
+        f for f in os.listdir(f"{ckpt}/commits") if not f.startswith(".")
+    )
+    os.remove(f"{ckpt}/commits/{commits[-1]}")
+    crc = f"{ckpt}/commits/.{commits[-1]}.crc"  # hadoop checksum shadow
+    if os.path.exists(crc):
+        os.remove(crc)
     q2 = start_stream_cascade(
-        spark, str(work / "crawled"), seeds, str(out), str(ckpt2),
+        spark, str(work / "crawled"), seeds, str(out), str(ckpt),
         trigger={"availableNow": True}, feedback_catalog=cat,
     )
     q2.awaitTermination(timeout=300)
@@ -137,6 +146,25 @@ def test_stream_feedback_state_equals_batch(spark, corpus, tmp_path_factory):
     pk2 = spark.read.parquet(f"{out}/packets")
     assert pk2.count() == n_packets_before
     assert pk2.count() == pk2.select("content_url").distinct().count()
+
+    # checkpoint-lineage guard: a RECREATED checkpoint restarts batch
+    # ids at 0 over (potentially) different batch contents, so batch-id
+    # idempotence no longer holds — the stream must fail fast instead
+    # of silently skipping feedback / overwriting foreign partitions.
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    ckpt_fresh = tmp_path_factory.mktemp("stream_ckpt3_recreated")
+    q3 = start_stream_cascade(
+        spark, str(work / "crawled"), seeds, str(out), str(ckpt_fresh),
+        trigger={"availableNow": True}, feedback_catalog=cat,
+    )
+    with pytest.raises(StreamingQueryException, match="lineage"):
+        q3.awaitTermination(timeout=300)
+    # and the refusal left all state untouched
+    assert kb_sig(cat.read("kb", schemas.KB)) == kb_sig(kb)
+    spark.catalog.refreshByPath(f"{out}/packets")
+    assert spark.read.parquet(f"{out}/packets").count() == n_packets_before
 
 
 def test_stream_cascade_incremental_pickup(spark, corpus, tmp_path_factory):

@@ -111,3 +111,17 @@ def test_manifest_matches_fs_discovery(spark, tmp_path):
     _stage_commit(spark, cat, 0, [(i, 100 + i) for i in range(8)])
     (drel,) = cat._state["deltas"]["log"]
     assert cat._delta_leaf_map("log", drel) == cat._leaf_buckets(drel)
+
+
+def test_meta_staged_until_commit_and_survives_reload(spark, tmp_path):
+    """set_meta is staged (invisible before commit), published atomically
+    WITH the next commit, and durable across catalog reloads — the
+    contract the streaming checkpoint-lineage binding relies on."""
+    cat = _mk(spark, tmp_path)
+    cat.set_meta("stream_query_id", "q-abc")
+    assert cat.get_meta("stream_query_id") is None  # staged, not committed
+    _stage_commit(spark, cat, 0, [(0, 10)])
+    assert cat.get_meta("stream_query_id") == "q-abc"
+    cat2 = _mk(spark, tmp_path)
+    assert cat2.get_meta("stream_query_id") == "q-abc"
+    assert cat2.get_meta("missing", "dflt") == "dflt"
