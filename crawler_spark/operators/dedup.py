@@ -13,8 +13,9 @@ Five families, all Spark-first:
   banded into (band_id, band_hash) buckets; only same-bucket pairs are
   candidates (the classic shingle→minhash→band→bucket-join pipeline).
 * **SimHash** — 64-bit weighted-token fingerprints; near-dup candidates
-  via the pigeonhole banding of 4×16-bit blocks, verified by Hamming
-  distance.
+  via pigeonhole banding into ``max_hamming + 1`` near-even blocks
+  (recall 1 at the requested distance by construction), verified by
+  Hamming distance.
 * **embedding cosine** — see :mod:`crawler_spark.operators.similarity`.
 
 Determinism: shingle/token hashing uses zlib.crc32 mixed to 64 bits —
