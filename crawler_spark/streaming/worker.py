@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -90,6 +91,18 @@ def _checkpoint_query_id(checkpoint_dir: str) -> str | None:
         with open(path) as f:
             return json.load(f).get("id")
     except (OSError, ValueError):
+        # Unreadable metadata (non-local URI, permissions, layout change)
+        # disables the lineage guard — make that VISIBLE: the guard exists
+        # to prevent silent cross-lineage replay corruption, so a silently
+        # disabled guard is the exact failure mode it guards against.
+        warnings.warn(
+            f"streaming checkpoint metadata at {path} is unreadable; the "
+            "batch-id lineage guard is DISABLED for this run — if the "
+            "checkpoint lives on a non-local filesystem, resolve it to a "
+            "readable path or verify lineage out of band",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return None
 
 
@@ -115,6 +128,10 @@ def _bind_stream_identity(
             prev = json.load(f).get("query_id")
     except (OSError, ValueError):
         pass
+    # Validate BOTH bindings before writing EITHER: if the marker were
+    # stamped first and the catalog check then refused, the recommended
+    # remediation (restart from the original checkpoint) would trip over
+    # the marker now holding the refused query id and need manual cleanup.
     if prev is not None and prev != qid:
         raise RuntimeError(
             f"streaming sink {out_dir} was written by query {prev} but this "
@@ -122,20 +139,19 @@ def _bind_stream_identity(
             "reuse the original checkpoint dir or point the stream at a "
             "fresh out_dir/state_dir"
         )
+    bound = cat.get_meta("stream_query_id") if cat is not None else None
+    if bound is not None and bound != qid:
+        raise RuntimeError(
+            f"feedback catalog at {cat.root} holds state committed under "
+            f"query {bound}; refusing batch-id replay guard against a "
+            f"different checkpoint lineage ({qid})"
+        )
     if prev is None:
         os.makedirs(out_dir, exist_ok=True)
         with open(marker, "w") as f:
             json.dump({"query_id": qid}, f)
-    if cat is not None:
-        bound = cat.get_meta("stream_query_id")
-        if bound is not None and bound != qid:
-            raise RuntimeError(
-                f"feedback catalog at {cat.root} holds state committed under "
-                f"query {bound}; refusing batch-id replay guard against a "
-                f"different checkpoint lineage ({qid})"
-            )
-        if bound is None:
-            cat.set_meta("stream_query_id", qid)
+    if cat is not None and bound is None:
+        cat.set_meta("stream_query_id", qid)
 
 
 def start_stream_cascade(

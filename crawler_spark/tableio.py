@@ -202,6 +202,13 @@ class TableCatalog:
 
     def commit(self, wave: int) -> None:
         """Atomically publish every staged table as wave ``wave``."""
+        # Snapshot-and-clear the staged meta under the same lock set_meta
+        # writes under: a set_meta racing this commit either lands in this
+        # snapshot (published now) or stays in _pending_meta for the next
+        # commit — it can never be wiped unpublished by the post-commit
+        # reset.
+        with self._lock:
+            pending_meta, self._pending_meta = self._pending_meta, {}
         new_state = json.loads(json.dumps(self._state))
         for name, p in self._pending.items():
             mode = self.tables[name].mode
@@ -232,11 +239,10 @@ class TableCatalog:
                             bmap.pop(str(k), None)  # bucket emptied
         new_state["wave"] = wave
         new_state["committed_at"] = time.time()
-        if self._pending_meta:
-            new_state.setdefault("meta", {}).update(self._pending_meta)
+        if pending_meta:
+            new_state.setdefault("meta", {}).update(pending_meta)
         self._write_checkpoint(new_state)  # the atomic commit point
         self._pending = {}
-        self._pending_meta = {}
         if os.environ.get("SPARK_GRAFT_KEEP_VERSIONS", "0") == "0":
             self._vacuum()
 
@@ -450,7 +456,13 @@ class TableCatalog:
         resolved = resolver(self.read(name)).persist()
         try:
             hot = resolved.filter(hot_filter)
-            archive = resolved.filter(~hot_filter)
+            # Complement includes NULL: SQL three-valued logic drops
+            # predicate-NULL rows from BOTH filter(p) and filter(~p), which
+            # would silently lose rows for any resolver/filter pair whose
+            # routing column can be null (the frontier's `state` is
+            # non-null today, but this is a generic API) — every resolved
+            # row must land in exactly one output.
+            archive = resolved.filter(~hot_filter | hot_filter.isNull())
             arch_rel = f"{archive_name}/dc{wave}"
             hot_path = os.path.join(self.root, hot_rel)
             if os.path.exists(hot_path):

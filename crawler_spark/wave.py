@@ -691,7 +691,13 @@ class CrawlEngine:
             cand_buckets = self._buckets_of(deduped, cfg.n_buckets)
         seen_sub = cat.read_buckets("seen", cand_buckets, schemas.SEEN)
         if cfg.use_bloom:
-            filters = cat.read("seen_filters", FILTERS_SCHEMA)
+            # Same pruning predicate as the exact seen read: candidates in
+            # bucket b can only probe bucket b's filter blob (bucket =
+            # pmod(url_hash, B) on both sides), so reading any other blob
+            # is pure waste — at 10^10 keys an unpruned read ships the
+            # entire ~12 GB filter state through the cogroup shuffle every
+            # wave even when the wave touches a handful of buckets.
+            filters = cat.read_buckets("seen_filters", cand_buckets, FILTERS_SCHEMA)
             fresh = bloom_anti_join_seen(deduped, seen_sub, filters, cfg.n_buckets)
         else:
             fresh = anti_join_seen(deduped, seen_sub, cfg.n_buckets)

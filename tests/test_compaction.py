@@ -124,3 +124,30 @@ def test_resume_across_compaction(spark, corpus, tmp_path_factory):
     ref.run(max_waves=6)
     assert _full_sig(e2) == _full_sig(ref)
     assert _seen_sig(e2) == _seen_sig(ref)
+
+
+def test_compact_split_routes_null_predicate_rows_to_archive(spark, tmp_path):
+    """SQL three-valued logic: filter(p) and filter(~p) BOTH drop rows
+    where p is NULL. compact_split is a generic API, so a resolver/filter
+    pair whose routing column can be null must still land every resolved
+    row in exactly one output (NULL → archive)."""
+    from crawler_spark import tableio
+    from pyspark.sql import functions as F
+
+    cat = tableio.TableCatalog(spark, str(tmp_path / "nullroute"))
+    cat.register("log", tableio.APPEND)
+    cat.register("log_archive", tableio.APPEND)
+    df = spark.createDataFrame(
+        [(1, "pending"), (2, "done"), (3, None)], "k long, state string"
+    )
+    cat.stage("log", df, 0)
+    cat.commit(0)
+    # force a second delta so compact_split doesn't early-return
+    cat.stage("log", spark.createDataFrame([(4, "pending")], "k long, state string"), 1)
+    cat.commit(1)
+    cat.compact_split("log", "log_archive", lambda d: d, F.col("state") == "pending")
+    hot = {r["k"] for r in cat.read("log").collect()}
+    arch = {r["k"] for r in cat.read("log_archive").collect()}
+    assert hot == {1, 4}
+    assert arch == {2, 3}  # the NULL-state row is not silently dropped
+    assert hot | arch == {1, 2, 3, 4} and not (hot & arch)

@@ -154,3 +154,54 @@ def test_cuckoo_insert_contains_delete(hash_sets):
     for h in seen[:100].tolist():
         assert f2.delete(int(h))
     assert not f2.contains_many(seen[:100]).all()
+
+
+def test_wave_prunes_filter_read_to_candidate_buckets(
+    spark, corpus, tmp_path_factory, monkeypatch
+):
+    """The per-wave Bloom-blob read must be bucket-pruned exactly like the
+    exact seen read: candidates in bucket b can only probe bucket b's
+    blob, so an unpruned read ships the entire filter state (≈12 GB at
+    10^10 keys) through the cogroup shuffle EVERY wave. Pins: (1) the
+    wave loop never whole-reads seen_filters, (2) its read_buckets call
+    uses the same candidate-bucket list as the exact seen read."""
+    from crawler_spark.tableio import TableCatalog
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    corpus_dir = corpus["dir"]
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("bloom_prune")),
+        pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+        seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"),
+        config=CrawlConfig(
+            mode="fifo", batch_size=20, metrics=False, use_bloom=True,
+            n_buckets=N_BUCKETS, bloom_expected_items=20_000,
+        ),
+    )
+    eng.bootstrap()
+
+    calls: list[tuple[str, list[int]]] = []
+    orig_rb = TableCatalog.read_buckets
+    orig_read = TableCatalog.read
+
+    def spy_read_buckets(self, name, buckets, schema=None):
+        calls.append((name, sorted(set(buckets))))
+        return orig_rb(self, name, buckets, schema)
+
+    def guard_read(self, name, schema=None):
+        assert name != "seen_filters", (
+            "wave loop whole-read seen_filters — the blob read regressed "
+            "to O(total seen state) per wave"
+        )
+        return orig_read(self, name, schema)
+
+    monkeypatch.setattr(TableCatalog, "read_buckets", spy_read_buckets)
+    monkeypatch.setattr(TableCatalog, "read", guard_read)
+    for _ in range(2):
+        eng.run_wave()
+
+    filt = [b for n, b in calls if n == "seen_filters"]
+    seen = [b for n, b in calls if n == "seen"]
+    assert filt, "seen_filters was never read via read_buckets"
+    assert filt == seen  # identical pruning predicate on both reads

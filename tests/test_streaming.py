@@ -198,3 +198,60 @@ def test_stream_cascade_incremental_pickup(spark, corpus, tmp_path_factory):
     assert n2 > n1
     # exactly-once: no duplicate content_urls across the two drains
     assert packets.count() == packets.select("content_url").distinct().count()
+
+
+def test_bind_identity_checks_catalog_before_stamping_marker(tmp_path):
+    """_bind_stream_identity must validate BOTH the sink marker and the
+    catalog's bound query id BEFORE writing either: if the marker were
+    stamped first and the catalog then refused, the remediation the error
+    recommends (restart from the original checkpoint) would fail on the
+    marker now holding the refused query id."""
+    import json
+    import os
+
+    import pytest
+
+    from crawler_spark.streaming.worker import _bind_stream_identity
+
+    class _Cat:
+        root = "fake://cat"
+
+        def get_meta(self, key, default=None):
+            return "original-query"
+
+        def set_meta(self, key, value):  # pragma: no cover
+            raise AssertionError("must not bind a refused lineage")
+
+    out_dir = str(tmp_path / "out")
+    with pytest.raises(RuntimeError, match="different checkpoint lineage"):
+        _bind_stream_identity("new-query", out_dir, _Cat())
+    marker = os.path.join(out_dir, "_stream_identity.json")
+    assert not os.path.exists(marker), "marker stamped with the refused qid"
+
+    # sane path: fresh out_dir + matching catalog binds both
+    class _FreshCat(_Cat):
+        bound = None
+
+        def get_meta(self, key, default=None):
+            return self.bound
+
+        def set_meta(self, key, value):
+            self.bound = value
+
+    cat = _FreshCat()
+    _bind_stream_identity("q1", out_dir, cat)
+    with open(marker) as f:
+        assert json.load(f)["query_id"] == "q1"
+    assert cat.bound == "q1"
+
+
+def test_unreadable_checkpoint_metadata_warns(tmp_path):
+    """A disabled lineage guard must be visible, not silent."""
+    import warnings
+
+    from crawler_spark.streaming.worker import _checkpoint_query_id
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _checkpoint_query_id(str(tmp_path / "nonexistent")) is None
+    assert any("lineage guard is DISABLED" in str(x.message) for x in w)
