@@ -16,12 +16,20 @@ from pyspark.sql import functions as F
 
 # --- F1: URL validity (validator semantics) -------------------------------
 
+def netloc_of(url: Column) -> Column:
+    """The URL's network location — host INCLUDING the port, matching
+    Python's ``urlparse(url).netloc`` (the reference's same-domain unit,
+    url_validator.py:9). ``parse_url(url, 'HOST')`` strips the port, so a
+    port-qualified corpus (e.g. a loopback test web on 127.0.0.1:PORT)
+    would wrongly cross-match hosts on different ports."""
+    return F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+
+
 def is_valid_url(url: Column, base_netloc: Column) -> Column:
     scheme = F.parse_url(url, F.lit("PROTOCOL"))
-    netloc = F.parse_url(url, F.lit("HOST"))
     return (
         scheme.isin("http", "https")
-        & (netloc == base_netloc)
+        & (netloc_of(url) == base_netloc)
         & ~url.contains("#")
         & ~url.contains("javascript:void(0)")
     )

@@ -1,0 +1,119 @@
+"""Production HTTP fetch stage (the S2/S3 network boundary, real).
+
+Semantics mirror the reference fetcher (reference/src/crawler/
+high_performance_extractor.py:201-247): a page is kept iff the response
+status is 200 AND ``'text/html' in Content-Type``; anything else —
+non-200, wrong type, timeout, connection error — yields NULL html and
+flows to the wave's failure path. The body is returned as raw bytes;
+the downstream extract UDF decodes utf-8 with ``errors='ignore'``
+(functions/html_extract.py:100), byte-equivalent to the reference's
+``response.text(encoding='utf-8', errors='ignore')``.
+
+Concurrency (the distributed analog of the reference's
+``asyncio.Semaphore(20)`` batch cap + ``TCPConnector(limit_per_host=20)``
+— high_performance_extractor.py:65-72 and :223): the wave batch arrives
+hash-partitioned on ``url_hash`` across executors, and within each task
+a thread pool issues up to ``max_concurrency`` requests with at most
+``per_host`` in flight per host. Politeness proper (robots rules,
+crawl-delay budgets) is enforced UPSTREAM at batch selection
+(operators/politeness.py) — the fetcher's caps are anti-hammering
+backstops, not the scheduler.
+
+Shape: ``mapInPandas`` over Arrow batches — no per-row Python UDF, no
+driver-side loop; one task streams its batches through the pool with
+constant memory (``max_bytes`` caps any single body). The operator is
+interface-identical to the simulated fetch join in wave.py (input: the
+wave batch; output: batch columns + ``_html`` binary), so the wave loop
+swaps stages by config (``CrawlConfig.fetch_mode``) and the simulated
+path remains the deterministic parity oracle in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import BinaryType, StructField, StructType
+
+DEFAULT_USER_AGENT = "crawler-spark/0.1 (+https://example.invalid/bot)"
+
+
+def fetch_one(
+    url: str,
+    timeout_s: float = 10.0,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 10 * 2**20,
+) -> bytes | None:
+    """One HTTP GET with the reference keep-rules; None on any failure.
+
+    Kept as a module-level function (not a closure) so tests can probe
+    the status/content-type/timeout matrix without a Spark session.
+    """
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = getattr(resp, "status", None) or resp.getcode()
+            if status != 200:
+                return None
+            ctype = resp.headers.get("Content-Type") or ""
+            if "text/html" not in ctype:
+                return None
+            return resp.read(max_bytes)
+    except Exception:
+        # non-200 raised as HTTPError, timeouts, refused connections,
+        # DNS failures: all map to "page not fetched" (reference behavior:
+        # exceptions become None — :218-220), never a task failure
+        return None
+
+
+def http_fetch(
+    batch: DataFrame,
+    url_col: str = "canonical_url",
+    timeout_s: float = 10.0,
+    max_concurrency: int = 20,
+    per_host: int = 20,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 10 * 2**20,
+) -> DataFrame:
+    """Fetch every row's ``url_col`` over HTTP → batch columns + ``_html``.
+
+    ``max_concurrency`` bounds in-flight requests per task; ``per_host``
+    bounds them per hostname within the task (executor-local caps — with
+    E executors a host sees at most E×per_host connections; size
+    accordingly, exactly like sizing the reference's connector limits
+    per worker process).
+    """
+    out_schema = StructType(batch.schema.fields + [StructField("_html", BinaryType())])
+    cols = batch.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import urlparse
+
+        sems: dict[str, threading.BoundedSemaphore] = {}
+        sems_lock = threading.Lock()
+
+        def sem_for(host: str) -> threading.BoundedSemaphore:
+            with sems_lock:
+                s = sems.get(host)
+                if s is None:
+                    s = sems[host] = threading.BoundedSemaphore(per_host)
+                return s
+
+        def fetch(url: str) -> bytes | None:
+            with sem_for(urlparse(url).netloc.lower()):
+                return fetch_one(url, timeout_s, user_agent, max_bytes)
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                # pool.map preserves input order → row alignment is exact
+                htmls = list(pool.map(fetch, (str(u) for u in pdf[url_col])))
+                out = pdf[cols].copy()
+                out["_html"] = pd.Series(htmls, index=out.index, dtype=object)
+                yield out
+
+    return batch.mapInPandas(gen, out_schema)

@@ -160,32 +160,88 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.mapInPandas(gen, FEATURES)
 
 
+def _decode_video_frames(
+    payload: bytes, duration_ms: int, every_ms: int
+) -> list[tuple[int, bytes]]:
+    """Real frame sampling via PyAV: seek to ``frame_idx * every_ms`` and
+    emit the first decoded video frame at/after that timestamp as raw
+    grayscale bytes. Same guarded-import shape as
+    :func:`_decode_av_features` — absent library → ImportError (fail
+    fast); a payload that opens but yields no frame at some timestamp
+    simply stops emitting (data, not environment)."""
+    import io
+
+    import av  # import-guarded: absent in this sandbox
+
+    out: list[tuple[int, bytes]] = []
+    n_frames = max(1, int(duration_ms) // every_ms)
+    with av.open(io.BytesIO(payload)) as container:
+        stream = next((s for s in container.streams if s.type == "video"), None)
+        if stream is None:
+            raise ValueError("no video stream")
+        tb = float(stream.time_base) if stream.time_base else None
+        for i in range(n_frames):
+            target_ms = i * every_ms
+            if tb:
+                # seek backward to the keyframe at/before the target, then
+                # decode forward to the first frame at/after it
+                container.seek(
+                    int(target_ms / 1000.0 / tb), stream=stream, backward=True
+                )
+            got = None
+            for frame in container.decode(stream):
+                pts_ms = (
+                    float(frame.pts) * tb * 1000.0
+                    if (tb and frame.pts is not None)
+                    else target_ms
+                )
+                if pts_ms >= target_ms:
+                    got = frame
+                    break
+            if got is None:
+                break  # past end of stream
+            out.append((i, got.to_ndarray(format="gray").tobytes()))
+    return out
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
     """video → one row per sampled frame (fan-out mapInPandas stage).
 
-    The fake decoder slices the payload deterministically per frame; a
-    real one would seek/decode at ``frame_idx * every_ms``."""
+    ``fake=False`` seeks/decodes for real via PyAV (grayscale frame bytes
+    at ``frame_idx * every_ms``); a missing library raises ImportError
+    (environment error), while a row whose payload fails to open or
+    decode emits no frames (data error → the job survives). ``fake=True``
+    slices the payload deterministically per frame (sandbox test path)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                import av  # noqa: F401  import-guarded: absent → ImportError
-
-                raise NotImplementedError(
-                    "real frame seek/decode not wired yet; av import "
-                    "succeeded — implement with container.seek per frame"
-                )
             rows = {"asset_id": [], "frame_idx": [], "frame_payload": []}
             for _, r in pdf.iterrows():
                 if r["kind"] != "video" or not r["duration_ms"]:
                     continue
-                n_frames = max(1, int(r["duration_ms"]) // every_ms)
-                payload = r["payload"] or b""
-                step = max(1, len(payload) // max(1, n_frames))
-                for i in range(n_frames):
+                if fake:
+                    n_frames = max(1, int(r["duration_ms"]) // every_ms)
+                    payload = r["payload"] or b""
+                    step = max(1, len(payload) // max(1, n_frames))
+                    frames = [
+                        (i, payload[i * step : (i + 1) * step])
+                        for i in range(n_frames)
+                    ]
+                else:
+                    try:
+                        frames = _decode_video_frames(
+                            bytes(r["payload"] or b""),
+                            int(r["duration_ms"]),
+                            every_ms,
+                        )
+                    except ImportError:
+                        raise  # library absent: fail fast, don't mask
+                    except Exception:
+                        frames = []  # corrupt payload → no frames
+                for i, blob in frames:
                     rows["asset_id"].append(r["asset_id"])
                     rows["frame_idx"].append(i)
-                    rows["frame_payload"].append(payload[i * step : (i + 1) * step])
+                    rows["frame_payload"].append(blob)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, FRAMES)

@@ -36,7 +36,7 @@ from crawler_spark.functions.html_extract import (
     extract_hybrid_udf,
     extract_udf,
 )
-from crawler_spark.functions.urlfns import content_hash, is_valid_url
+from crawler_spark.functions.urlfns import content_hash, is_valid_url, netloc_of
 from crawler_spark.operators.cascade import run_cascade
 from crawler_spark.operators.frontier import (
     FIFO,
@@ -144,6 +144,16 @@ class CrawlConfig:
     # 'density' (link-density scoring variant, E4), or 'hybrid'
     # (selector content + context-enriched links, hybrid_extractor.py)
     extractor: str = "selector"
+    # fetch stage: 'simulated' (join vs the pages table — deterministic,
+    # the parity oracle; requires a pages DataFrame) or 'http' (the
+    # production mapInPandas fetcher, operators/fetch.py — reference
+    # keep-rules: 200 ∧ text/html, utf-8 errors ignored downstream).
+    # Both produce the same shape (batch columns + _html binary), so
+    # everything after the fetch stage is identical.
+    fetch_mode: str = "simulated"
+    # kwargs passed through to operators.fetch.http_fetch
+    # (timeout_s, max_concurrency, per_host, user_agent, max_bytes)
+    http_opts: dict | None = None
     # every K waves, coalesce each state log's per-wave delta dirs into
     # one resolved dir (Iceberg compaction stand-in; bounds file-listing
     # cost and the superseded-row fraction). 0 = never.
@@ -165,7 +175,7 @@ class CrawlEngine:
         self,
         spark: SparkSession,
         workdir: str,
-        pages: DataFrame,
+        pages: DataFrame | None,
         seeds: DataFrame,
         robots: DataFrame | None = None,
         kb_seed: DataFrame | None = None,
@@ -185,14 +195,22 @@ class CrawlEngine:
         # and cached: every wave's fetch join is then co-partitioned and
         # never re-shuffles the (huge) pages side — the parquet stand-in
         # for an Iceberg storage-partitioned join on bucket(url_hash).
-        self._pages_fetch = (
-            pages.select(
-                F.col("url").alias("_page_url"), F.col("html").alias("_html")
+        # In http fetch mode there is no pages table: the fetch stage is
+        # the real network (operators/fetch.py) behind the same interface.
+        if pages is None:
+            assert self.config.fetch_mode == "http", (
+                "simulated fetch mode needs a pages DataFrame"
             )
-            .withColumn("_page_hash", F.xxhash64("_page_url"))
-            .repartition(self.config.n_buckets, F.col("_page_hash"))
-            .persist()
-        )
+            self._pages_fetch = None
+        else:
+            self._pages_fetch = (
+                pages.select(
+                    F.col("url").alias("_page_url"), F.col("html").alias("_html")
+                )
+                .withColumn("_page_hash", F.xxhash64("_page_url"))
+                .repartition(self.config.n_buckets, F.col("_page_hash"))
+                .persist()
+            )
 
         # State tables are delta-committed: per-wave WRITE cost scales
         # with the wave's delta, never with accumulated crawl state
@@ -306,7 +324,8 @@ class CrawlEngine:
                 0,
             )
         self.cat.commit(0)
-        self._pages_fetch.count()  # warm the bucketed fetch cache
+        if self._pages_fetch is not None:
+            self._pages_fetch.count()  # warm the bucketed fetch cache
 
     def bootstrap_full_frontier(self) -> None:
         """Bench/steady-state bootstrap: the whole pages table becomes the
@@ -416,7 +435,10 @@ class CrawlEngine:
                 "max_pages",
                 "crawl_delay",
                 (
-                    F.lower(F.parse_url("base_url", F.lit("HOST")))
+                    # netloc INCLUDING port (urlparse parity): both the
+                    # link validity predicate and the Python-side extract
+                    # filter compare against urlparse().netloc semantics
+                    netloc_of(F.col("base_url"))
                     if self.config.same_domain_only
                     else F.lit("*")
                 ).alias("base_netloc"),
@@ -572,26 +594,39 @@ class CrawlEngine:
             self._finish_wave_no_batch(w, pending, gated, blocked_keys)
             return {"wave": w, "done": False, "fetched": 0, "batch": 0}
 
-        # --- fetch (simulated web: lookup in the pages table) ------------
-        # Co-partitioned join against the pre-bucketed pages cache: only
-        # the (small) wave batch shuffles; the pages side is never
-        # broadcast (massive at 10^10) and never re-shuffled (bucketed
-        # once at init — on a cluster this is an Iceberg storage-
-        # partitioned join). The shuffle_hash hint on the batch side
-        # builds the per-partition hash map from the wave batch, not the
-        # web. Joining on (hash, url) keeps hash collisions harmless.
-        page_side = self._pages_fetch
-        fetched = (
-            batch.hint("shuffle_hash")
-            .repartition(cfg.n_buckets, F.col("url_hash"))
-            .join(
-                page_side,
-                (batch["url_hash"] == page_side["_page_hash"])
-                & (batch["canonical_url"] == page_side["_page_url"]),
-                "left",
+        # --- fetch ---------------------------------------------------------
+        if cfg.fetch_mode == "http":
+            # Production network fetch: mapInPandas over the batch, hash-
+            # partitioned on url_hash so requests spread across executors;
+            # per-task thread pool + per-host caps inside (fetch.py).
+            from crawler_spark.operators.fetch import http_fetch
+
+            fetched = http_fetch(
+                batch.repartition(cfg.n_buckets, F.col("url_hash")),
+                **(cfg.http_opts or {}),
             )
-            .drop("_page_url", "_page_hash")
-        )
+        else:
+            # Simulated web: lookup in the pages table.
+            # Co-partitioned join against the pre-bucketed pages cache:
+            # only the (small) wave batch shuffles; the pages side is
+            # never broadcast (massive at 10^10) and never re-shuffled
+            # (bucketed once at init — on a cluster this is an Iceberg
+            # storage-partitioned join). The shuffle_hash hint on the
+            # batch side builds the per-partition hash map from the wave
+            # batch, not the web. Joining on (hash, url) keeps hash
+            # collisions harmless.
+            page_side = self._pages_fetch
+            fetched = (
+                batch.hint("shuffle_hash")
+                .repartition(cfg.n_buckets, F.col("url_hash"))
+                .join(
+                    page_side,
+                    (batch["url_hash"] == page_side["_page_hash"])
+                    & (batch["canonical_url"] == page_side["_page_url"]),
+                    "left",
+                )
+                .drop("_page_url", "_page_hash")
+            )
 
         # --- extract -------------------------------------------------------
         # The join output inherits the n_buckets co-partitioning, which

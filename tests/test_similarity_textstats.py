@@ -168,3 +168,16 @@ def test_multimodal_real_decode_import_guarded(spark):
         multimodal.extract_features(media, fake=False).collect()
     msg = str(ei.value)
     assert "PIL" in msg or "av" in msg or "ImportError" in msg or "ModuleNotFound" in msg
+
+
+def test_sample_frames_real_decode_import_guarded(spark):
+    """fake=False now seeks/decodes for real (container.seek per
+    frame_idx * every_ms); with PyAV genuinely absent the guarded import
+    must raise ImportError — NOT NotImplementedError (the round-3 stub is
+    gone) — and a cluster with PyAV takes the real path unchanged."""
+    media = multimodal.synth_media(spark, n=6)
+    with pytest.raises(Exception) as ei:
+        multimodal.sample_frames(media, every_ms=1000, fake=False).collect()
+    msg = str(ei.value)
+    assert "NotImplementedError" not in msg
+    assert "av" in msg or "ImportError" in msg or "ModuleNotFound" in msg
