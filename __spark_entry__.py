@@ -307,10 +307,21 @@ def q_minhash_pairs(spark, sf_dir):
 
 def q_embedding_neardup_lsh(spark, sf_dir):
     """The approximate LSH scale path (banded hyperplane signatures,
-    exact cosine on candidates — precision 1, recall tuned by band
-    parameters). Rows-only driver check by design; recall is asserted
-    against the exact operator in tests/test_similarity_textstats.py
-    and throughput in BENCH/EMB_SCALE.md (bench.py --emb-scale)."""
+    exact cosine on candidates — precision exactly 1, recall bounded by
+    the banding). DuckDB-checked against the SAME brute-force oracle as
+    ``embedding_neardup``, justified the way ``minhash_pairs`` is: a
+    qualifying pair at the worst case (cosine exactly 0.4, θ = acos 0.4)
+    shares one 2-bit band with p = (1−θ/π)² ≈ 0.398, so at 32 bands its
+    miss probability is ≤ (1−0.398)³² ≈ 8.7e−8 — union-bounded over the
+    sf0.01 corpus's 59 qualifying pairs that is ≤ 5.1e−6, and pairs
+    above the threshold are strictly safer. Exact cosine is recomputed
+    on candidates, so any recalled pair carries the oracle's value.
+    Recall 1.0 verified on this corpus (test_similarity_textstats.py);
+    throughput/scaling in BENCH/EMB_SCALE.md (bench.py --emb-scale).
+    Scale note: at this LOW threshold the banding prunes little (the
+    operator docstring derives why — near-orthogonal 'duplicates' are
+    not LSH-friendly); production near-dup thresholds (≥0.9) are the
+    pruning regime the bench measures."""
     from crawler_spark.operators.similarity import embedding_neardup_pairs
 
     e = (
@@ -319,7 +330,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         .select("vec_id", "embedding")
     )
     return embedding_neardup_pairs(
-        e, threshold=0.4, n_bands=16, bits_per_band=2, seed=42
+        e, threshold=0.4, n_bands=32, bits_per_band=2, seed=42
     )
 
 
@@ -614,6 +625,22 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                         4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                        4) >= 0.4
+        """,
+        # Same brute-force oracle as embedding_neardup: the LSH path's
+        # banding (32 bands × 2 bits) has per-pair miss probability
+        # ≤ 8.7e−8 at the 0.4 threshold (see the query docstring), and
+        # exact cosine is recomputed on candidates — so the approximate
+        # pipeline must equal the brute-force set on this corpus.
+        "embedding_neardup_lsh": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.v, b.v) /
