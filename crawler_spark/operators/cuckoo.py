@@ -15,10 +15,14 @@ acceptable for a fallback; the hot default is the Bloom path.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _EMPTY = 0
 _MAX_KICKS = 500
+_SLOTS_PER_BUCKET = 4
+_TARGET_LOAD = 0.84  # headroom under the ~0.95 theoretical max
 
 
 class CuckooFilter:
@@ -114,3 +118,157 @@ class CuckooFilter:
         f.mask = f.n_buckets - 1
         f.n_items = n_items
         return f
+
+
+# --- Spark operators (interface parity with operators/bloom.py) -------------
+#
+# Same partitioned layout and table schema as the Bloom path: one filter
+# blob row per url_hash bucket in the ``seen_filters`` table
+# (schemas.SEEN_FILTERS — ``m_bits`` stores the cuckoo table's slot-row
+# count, ``k`` the slots per row). The wave loop selects the
+# implementation via CrawlConfig.seen_filter_kind; both compose with the
+# exact anti-join confirm, so correctness never depends on the filter.
+
+def size_cuckoo(expected_items: int) -> int:
+    """slot-rows-log2 for one bucket's table at the target load factor."""
+    need = max(1, expected_items) / (_SLOTS_PER_BUCKET * _TARGET_LOAD)
+    return max(4, math.ceil(math.log2(need)))
+
+
+def _insert_batch(f: "CuckooFilter", hashes: np.ndarray) -> None:
+    for h in hashes.tolist():  # eviction chains are inherently sequential
+        if not f.insert(int(h)):
+            raise ValueError(
+                "cuckoo bucket over capacity — size n_buckets/expected_items "
+                f"so each bucket holds ≤{_TARGET_LOAD:.0%} load "
+                f"({f.n_items} items in {f.n_buckets * _SLOTS_PER_BUCKET} slots)"
+            )
+
+
+def build_cuckoo_filters(
+    seen, n_buckets: int = 32, expected_items: int = 200_000, fpr: float = 0.01
+):
+    """Build the seen_filters table from scratch (one cuckoo blob per
+    bucket). ``fpr`` is accepted for signature parity with the Bloom
+    builder; 16-bit fingerprints fix the cuckoo FPR at ~2·4/2^16 ≈ 1.2e−4
+    regardless."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark.schemas import SEEN_FILTERS as FILTERS_SCHEMA
+
+    log2_slots = size_cuckoo(max(1, expected_items // n_buckets))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter(n_slots_log2=log2_slots)
+        _insert_batch(f, pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "n_items": [f.n_items],
+                "m_bits": [f.n_buckets],
+                "k": [_SLOTS_PER_BUCKET],
+                "filter_blob": [f.to_bytes()],
+            }
+        )
+
+    bucketed = seen.select(
+        F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"), "url_hash"
+    )
+    return bucketed.groupBy("bucket").applyInPandas(build, FILTERS_SCHEMA)
+
+
+def update_cuckoo_filters(
+    filters, new_keys, n_buckets: int = 32,
+    expected_items: int = 200_000, fpr: float = 0.01,
+):
+    """Insert one wave's new url_hashes into the per-bucket blobs."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crawler_spark.schemas import SEEN_FILTERS as FILTERS_SCHEMA
+
+    log2_default = size_cuckoo(max(1, expected_items // n_buckets))
+
+    def merge(key, filt: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        if len(filt):
+            f = CuckooFilter.from_bytes(
+                bytes(filt["filter_blob"].iloc[0]), int(filt["n_items"].iloc[0])
+            )
+        else:
+            f = CuckooFilter(n_slots_log2=log2_default)
+        if len(keys):
+            _insert_batch(f, keys["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_items": [f.n_items],
+                "m_bits": [f.n_buckets],
+                "k": [_SLOTS_PER_BUCKET],
+                "filter_blob": [f.to_bytes()],
+            }
+        )
+
+    keys_b = new_keys.select(
+        F.pmod("url_hash", F.lit(n_buckets)).cast("int").alias("bucket"), "url_hash"
+    )
+    return (
+        filters.groupBy("bucket")
+        .cogroup(keys_b.groupBy("bucket"))
+        .applyInPandas(merge, FILTERS_SCHEMA)
+    )
+
+
+def cuckoo_flag(candidates, filters, n_buckets: int = 32):
+    """Annotate candidates with ``maybe_seen`` via the per-bucket blobs
+    (cogrouped per bucket, vectorized ``contains_many`` probe)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        candidates.schema.fields + [StructField("maybe_seen", BooleanType())]
+    )
+    cand_cols = candidates.columns
+
+    def test(key, cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand):
+            return pd.DataFrame(columns=cand_cols + ["maybe_seen"])
+        out = cand[cand_cols].copy()
+        if not len(filt):
+            out["maybe_seen"] = False
+            return out
+        f = CuckooFilter.from_bytes(
+            bytes(filt["filter_blob"].iloc[0]), int(filt["n_items"].iloc[0])
+        )
+        out["maybe_seen"] = f.contains_many(
+            cand["url_hash"].to_numpy(dtype=np.int64)
+        )
+        return out
+
+    cand_b = candidates.withColumn(
+        "_bucket", F.pmod("url_hash", F.lit(n_buckets)).cast("int")
+    )
+    return (
+        cand_b.groupBy("_bucket")
+        .cogroup(filters.groupBy("bucket"))
+        .applyInPandas(
+            lambda key, c, f: test(key, c.drop(columns=["_bucket"]), f),
+            out_schema,
+        )
+    )
+
+
+def cuckoo_anti_join_seen(candidates, seen, filters, n_buckets: int = 32):
+    """Cuckoo-accelerated anti-join, same composition as the Bloom path:
+    definite-new pass through free; maybe-seen rows (true dups + tiny
+    fingerprint-FPR share) pay the exact anti-join confirm."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.seen import anti_join_seen
+
+    flagged = cuckoo_flag(candidates, filters, n_buckets)
+    definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = anti_join_seen(maybe, seen, n_buckets)
+    return definite_new.unionByName(confirmed_new)

@@ -48,11 +48,7 @@ from crawler_spark.operators.frontier import (
 )
 from crawler_spark.operators.kb import merge_kb, wave_kb_delta
 from crawler_spark.operators.politeness import host_quotas, robots_filter
-from crawler_spark.operators.bloom import (
-    FILTERS_SCHEMA,
-    bloom_anti_join_seen,
-    update_filters,
-)
+from crawler_spark.operators.bloom import FILTERS_SCHEMA
 from crawler_spark.operators.seen import anti_join_seen, dedup_in_wave
 from crawler_spark.tableio import (
     APPEND,
@@ -137,6 +133,12 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_fpr: float = 0.01
     bloom_expected_items: int = 1_000_000
+    # which probabilistic filter backs the seen prefilter when use_bloom
+    # is on: 'bloom' (hot default) or 'cuckoo' (north-rule fallback —
+    # supports deletion, fixed ~1.2e−4 fingerprint FPR). Both share the
+    # seen_filters table layout and the exact-confirm composition, so
+    # crawl state is identical either way (test-pinned).
+    seen_filter_kind: str = "bloom"
     # two-phase distributed seq assignment (no single-partition sort);
     # bit-identical to the Window path, used for huge waves
     distributed_seq: bool = False
@@ -261,6 +263,20 @@ class CrawlEngine:
             cat.register(name, mode)
         self.cat = cat
 
+    def _filter_ops(self):
+        """(build, update, anti_join) for the configured seen prefilter."""
+        if self.config.seen_filter_kind == "cuckoo":
+            from crawler_spark.operators import cuckoo as m
+
+            return (
+                m.build_cuckoo_filters,
+                m.update_cuckoo_filters,
+                m.cuckoo_anti_join_seen,
+            )
+        from crawler_spark.operators import bloom as m
+
+        return m.build_filters, m.update_filters, m.bloom_anti_join_seen
+
     # -- bootstrap -------------------------------------------------------
 
     def bootstrap(self) -> None:
@@ -307,11 +323,11 @@ class CrawlEngine:
         self.cat.stage("site_stats", stats0, 0)
         if self.config.use_bloom:
             # Seed keys MUST be in the wave-0 filters: update_filters only
-            # ORs in each wave's new rows, so a missing bootstrap build
-            # would leave seed URLs permanently invisible to the Bloom
+            # adds each wave's new rows, so a missing bootstrap build
+            # would leave seed URLs permanently invisible to the
             # prefilter (they'd skip the exact confirm join and re-enter
             # seen/frontier as duplicates).
-            from crawler_spark.operators.bloom import build_filters
+            build_filters, _, _ = self._filter_ops()
 
             self.cat.stage(
                 "seen_filters",
@@ -408,7 +424,7 @@ class CrawlEngine:
             0,
         )
         if self.config.use_bloom:
-            from crawler_spark.operators.bloom import build_filters
+            build_filters, _, _ = self._filter_ops()
 
             self.cat.stage(
                 "seen_filters",
@@ -733,7 +749,8 @@ class CrawlEngine:
             # entire ~12 GB filter state through the cogroup shuffle every
             # wave even when the wave touches a handful of buckets.
             filters = cat.read_buckets("seen_filters", cand_buckets, FILTERS_SCHEMA)
-            fresh = bloom_anti_join_seen(deduped, seen_sub, filters, cfg.n_buckets)
+            _, _, filter_anti_join = self._filter_ops()
+            fresh = filter_anti_join(deduped, seen_sub, filters, cfg.n_buckets)
         else:
             fresh = anti_join_seen(deduped, seen_sub, cfg.n_buckets)
 
@@ -894,7 +911,8 @@ class CrawlEngine:
             stage_jobs.append(("seen", seen_delta, None))
         if cfg.use_bloom and s_buckets:
             # only the blobs of buckets that gained keys are rewritten
-            filters_next = update_filters(
+            _, filter_update, _ = self._filter_ops()
+            filters_next = filter_update(
                 filters.filter(F.col("bucket").isin(s_buckets)),
                 new_rows.select("url_hash"),
                 cfg.n_buckets,

@@ -205,3 +205,50 @@ def test_wave_prunes_filter_read_to_candidate_buckets(
     seen = [b for n, b in calls if n == "seen"]
     assert filt, "seen_filters was never read via read_buckets"
     assert filt == seen  # identical pruning predicate on both reads
+
+
+def test_crawl_with_cuckoo_equals_exact_path(spark, corpus, tmp_path_factory):
+    """North-rule 'bloom (fallback cuckoo)': the cuckoo-backed seen
+    prefilter must drive the FULL crawl loop (build → per-wave probe →
+    per-wave update through the bucket-pruned read path) to exactly the
+    state the exact-anti-join crawl reaches — the fallback is exercised
+    end-to-end, not just at the filter-op level."""
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    corpus_dir = corpus["dir"]
+
+    def run(kind, work):
+        eng = CrawlEngine(
+            spark,
+            str(work),
+            pages=spark.read.parquet(f"{corpus_dir}/pages.parquet"),
+            seeds=spark.read.parquet(f"{corpus_dir}/seeds.parquet"),
+            robots=spark.read.parquet(f"{corpus_dir}/robots.parquet"),
+            config=CrawlConfig(
+                mode="fifo", batch_size=20, metrics=False,
+                use_bloom=kind is not None, seen_filter_kind=kind or "bloom",
+                n_buckets=N_BUCKETS, bloom_expected_items=20_000,
+            ),
+        )
+        eng.bootstrap()
+        for _ in range(4):
+            eng.run_wave()
+        return eng
+
+    exact = run(None, tmp_path_factory.mktemp("crawl_exact_ck"))
+    cuckoo = run("cuckoo", tmp_path_factory.mktemp("crawl_cuckoo"))
+
+    def sig(eng, table, cols):
+        return sorted(tuple(r[c] for c in cols) for r in eng.cat.read(table).collect())
+
+    assert sig(cuckoo, "seen", ["site_id", "url_hash"]) == sig(
+        exact, "seen", ["site_id", "url_hash"]
+    )
+    assert sig(
+        cuckoo, "frontier", ["site_id", "canonical_url", "state", "seq"]
+    ) == sig(exact, "frontier", ["site_id", "canonical_url", "state", "seq"])
+    # the filters table really is cuckoo blobs (k = slots/bucket marker)
+    filt = cuckoo.cat.read("seen_filters").collect()
+    assert filt and all(r["k"] == 4 for r in filt)
+    total = sum(r["n_items"] for r in filt)
+    assert total == len(sig(cuckoo, "seen", ["url_hash"]))
