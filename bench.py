@@ -38,15 +38,33 @@ def _corpus(n_pages: int, page_scale: int = 1) -> str:
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
-        from crawler_spark.synthgen import generate_corpus
+        if n_pages >= 500_000:
+            # driver-side generation is ~1.6 ms/page with all html in
+            # memory at once — above half a million pages, generate with
+            # every core via the Spark-parallel generator (a throwaway
+            # session: corpus generation must not inherit, or constrain,
+            # the measured run's parallelism level)
+            from crawler_spark.synthgen import generate_corpus_distributed
 
-        generate_corpus(
-            d,
-            n_pages=n_pages,
-            n_hosts=max(6, n_pages // 2000),
-            seed=42,
-            page_scale=page_scale,
-        )
+            spark = build("local[*]", shuffle=64)
+            try:
+                generate_corpus_distributed(
+                    spark, d, n_pages=n_pages,
+                    n_hosts=max(6, n_pages // 2000), seed=42,
+                    page_scale=page_scale,
+                )
+            finally:
+                spark.stop()
+        else:
+            from crawler_spark.synthgen import generate_corpus
+
+            generate_corpus(
+                d,
+                n_pages=n_pages,
+                n_hosts=max(6, n_pages // 2000),
+                seed=42,
+                page_scale=page_scale,
+            )
         open(marker, "w").write("ok")
     return d
 
@@ -214,10 +232,14 @@ def scaling() -> None:
         if os.environ.get("BENCH_LEVELS")
         else {n_lo, 8, n_hi, 32}
     )
+    # one shuffle-partition count for EVERY level (default: sized for the
+    # widest) — otherwise the narrow leg runs a different physical plan
+    # and the comparison measures partitioning, not cores
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", str(max(8, max(levels)))))
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for cpus in levels:
-            spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+            spark = build(f"local[{cpus}]", shuffle=shuffle)
             work = tempfile.mkdtemp(prefix=f"scale{cpus}")
             try:
                 runs[cpus].append(
@@ -269,7 +291,11 @@ def scaling() -> None:
     }
     print(json.dumps(out, indent=2))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH_SCALING_OUT: write somewhere else (e.g. BENCH/SCALE_4M.md) so a
+    # one-off run at a different wave size doesn't clobber the curated
+    # baseline document
+    out_path = os.environ.get("BENCH_SCALING_OUT", "BENCH/BASELINE.md")
+    with open(out_path, "w") as f:
         f.write(
             "# BENCH baseline — crawl-wave throughput & scaling evidence\n\n"
             "Authoritative metric (BASELINE.json): frontier URLs/sec per wave; "

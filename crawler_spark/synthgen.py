@@ -135,133 +135,94 @@ def _page_url(host: str, j: int) -> str:
     return f"https://{host}/p{j}"
 
 
-def generate_corpus(
-    out_dir: str,
-    n_pages: int = 400,
-    n_hosts: int = 6,
-    seed: int = 42,
-    sentinel_every: int = 37,
-    unchanged_every: int = 23,
-    empty_every: int = 41,
-    page_scale: int = 1,
-) -> dict:
-    """Write pages/seeds/robots/kb_seed/ledger_seed parquet into out_dir.
+def _page_record(
+    rng: random.Random,
+    hosts: list[str],
+    h_idx: int,
+    j: int,
+    size: int,
+    row: int,
+    page_scale: int,
+    sentinel_every: int,
+    empty_every: int,
+) -> tuple[str, bytes, str, str, list[tuple[str, str]]]:
+    """Build one page: (url, html_bytes, expected_text, lang, link_items).
 
-    Returns a manifest dict with per-table row counts and the oracle link
-    graph (url -> ordered list of same-host candidate links) used by the
-    BFS-parity oracle in tests.
-    """
-    rng = random.Random(seed)
-    hosts = [f"mega0.example.org"] + [f"site{i}.example.org" for i in range(1, n_hosts)]
-    sizes = _host_sizes(n_pages, n_hosts)
+    The ONLY source of randomness is ``rng``, consumed in a fixed call
+    order — the sequential generator threads one stream through every
+    page (byte-stable test corpora), the distributed generator seeds a
+    fresh per-row stream (order-independent across partitions)."""
+    host = hosts[h_idx]
+    other_host = hosts[(h_idx + 1) % len(hosts)]
+    url = _page_url(host, j)
+    ko_ratio = 0.55 if h_idx % 2 == 0 else 0.15
+    lang = "ko" if ko_ratio > 0.3 else "en"
+    if row % 53 == 0:
+        lang = "unknown"
 
-    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    title = f"Page {j} of {host} " + _sentence(rng, ko_ratio)[:-1]
 
-    urls: list[str] = []
-    warc_ts: list[datetime] = []
-    htmls: list[bytes] = []
-    texts: list[str] = []
-    langs: list[str] = []
-    graph: dict[str, list[tuple[str, str]]] = {}
+    # body paragraphs; page_scale multiplies body size toward
+    # realistic web-page weight (bench corpora) without changing
+    # the rng stream for page_scale=1 (test corpora stay stable)
+    n_para = rng.randint(1, 6) * page_scale
+    paras = [_sentence(rng, ko_ratio) + " " + _sentence(rng, ko_ratio) for _ in range(n_para)]
+    if row % 7 == 0:
+        paras.append(rng.choice(_NOISE_LINES))
+    if sentinel_every and row % sentinel_every == 5:
+        paras.append(SENTINEL)
+    if empty_every and j > 0 and row % empty_every == 3:
+        paras = ["tiny."]  # cleaned text < 10 chars → empty (F13 path)
 
-    row = 0
-    for h_idx, host in enumerate(hosts):
-        size = sizes[h_idx]
-        other_host = hosts[(h_idx + 1) % len(hosts)]
-        for j in range(size):
-            url = _page_url(host, j)
-            ko_ratio = 0.55 if h_idx % 2 == 0 else 0.15
-            lang = "ko" if ko_ratio > 0.3 else "en"
-            if row % 53 == 0:
-                lang = "unknown"
+    # links: children in the page tree, a couple of cross refs,
+    # plus noise links of every filterable kind
+    child_ids = [BRANCH * j + k for k in range(1, BRANCH + 1) if BRANCH * j + k < size]
+    link_items: list[tuple[str, str]] = []
+    for cid in child_ids:
+        link_items.append((f"/p{cid}", f"child link {cid} {rng.choice(_WORDS_EN)}"))
+    if j > 1 and rng.random() < 0.6:
+        back = rng.randint(0, j - 1)
+        link_items.append((_page_url(host, back), f"crossref {back} revisit"))
+    noise_links = [
+        ("#top", "맨위로"),
+        ("javascript:void(0)", "공유하기"),
+        (f"https://{other_host}/", "external partner"),
+        ("/login", "로그인"),
+        (f"/files/report{j}.pdf", "다운로드 report"),
+        (f"/p{j}#section2", "섹션 바로가기"),
+    ]
+    link_items.extend(noise_links)
 
-            title = f"Page {j} of {host} " + _sentence(rng, ko_ratio)[:-1]
-
-            # body paragraphs; page_scale multiplies body size toward
-            # realistic web-page weight (bench corpora) without changing
-            # the rng stream for page_scale=1 (test corpora stay stable)
-            n_para = rng.randint(1, 6) * page_scale
-            paras = [_sentence(rng, ko_ratio) + " " + _sentence(rng, ko_ratio) for _ in range(n_para)]
-            if row % 7 == 0:
-                paras.append(rng.choice(_NOISE_LINES))
-            if sentinel_every and row % sentinel_every == 5:
-                paras.append(SENTINEL)
-            if empty_every and j > 0 and row % empty_every == 3:
-                paras = ["tiny."]  # cleaned text < 10 chars → empty (F13 path)
-
-            # links: children in the page tree, a couple of cross refs,
-            # plus noise links of every filterable kind
-            child_ids = [BRANCH * j + k for k in range(1, BRANCH + 1) if BRANCH * j + k < size]
-            link_items: list[tuple[str, str]] = []
-            for cid in child_ids:
-                link_items.append((f"/p{cid}", f"child link {cid} {rng.choice(_WORDS_EN)}"))
-            if j > 1 and rng.random() < 0.6:
-                back = rng.randint(0, j - 1)
-                link_items.append((_page_url(host, back), f"crossref {back} revisit"))
-            noise_links = [
-                ("#top", "맨위로"),
-                ("javascript:void(0)", "공유하기"),
-                (f"https://{other_host}/", "external partner"),
-                ("/login", "로그인"),
-                (f"/files/report{j}.pdf", "다운로드 report"),
-                (f"/p{j}#section2", "섹션 바로가기"),
-            ]
-            link_items.extend(noise_links)
-
-            main_links_html = "\n".join(
-                f'<li>\n<a href="{href}"> {anchor} </a>\n</li>' for href, anchor in link_items
-            )
-            main_inner = (
-                f"<h1> {title} </h1>\n"
-                + "\n".join(f"<p> {p} </p>" for p in paras)
-                + f'\n<ul class="lnk">\n{main_links_html}\n</ul>'
-            )
-            html_doc = (
-                "<html>\n<head>\n"
-                f"<title> {title} </title>\n"
-                '<meta charset="utf-8"/>\n'
-                "<style> body { margin: 0; } </style>\n"
-                "<script> var tracking = 1; </script>\n"
-                "</head>\n<body>\n"
-                '<header>\n<a href="/"> 홈 </a>\n로그인 사이트맵 고객센터\n</header>\n'
-                f'<nav>\n<a href="/p0"> 목록으로 </a>\n<a href="/sitemap"> 사이트맵 </a>\n</nav>\n'
-                f"<main>\n{main_inner}\n</main>\n"
-                "<footer>\nCopyright 2025 example All rights reserved\n개인정보처리방침\n</footer>\n"
-                "<form>\n<input type='text'/>\n<button> 검색 </button>\n</form>\n"
-                "</body>\n</html>"
-            )
-
-            expected = _oracle_text_from_main(main_inner)
-
-            urls.append(url)
-            warc_ts.append(base_ts + timedelta(seconds=row * 17))
-            htmls.append(html_doc.encode("utf-8"))
-            texts.append(expected)
-            langs.append(lang)
-            # oracle link graph: absolutized document-order links
-            abs_links = []
-            for href, anchor in link_items:
-                if href.startswith("#") or href.startswith("javascript:"):
-                    continue
-                if href.startswith("/"):
-                    abs_url = f"https://{host}{href}"
-                else:
-                    abs_url = href
-                abs_links.append((abs_url, anchor.strip()))
-            graph[url] = abs_links
-            row += 1
-
-    pages_tbl = pa.table(
-        {
-            "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-        }
+    main_links_html = "\n".join(
+        f'<li>\n<a href="{href}"> {anchor} </a>\n</li>' for href, anchor in link_items
     )
-    pq.write_table(pages_tbl, f"{out_dir}/pages.parquet")
+    main_inner = (
+        f"<h1> {title} </h1>\n"
+        + "\n".join(f"<p> {p} </p>" for p in paras)
+        + f'\n<ul class="lnk">\n{main_links_html}\n</ul>'
+    )
+    html_doc = (
+        "<html>\n<head>\n"
+        f"<title> {title} </title>\n"
+        '<meta charset="utf-8"/>\n'
+        "<style> body { margin: 0; } </style>\n"
+        "<script> var tracking = 1; </script>\n"
+        "</head>\n<body>\n"
+        '<header>\n<a href="/"> 홈 </a>\n로그인 사이트맵 고객센터\n</header>\n'
+        f'<nav>\n<a href="/p0"> 목록으로 </a>\n<a href="/sitemap"> 사이트맵 </a>\n</nav>\n'
+        f"<main>\n{main_inner}\n</main>\n"
+        "<footer>\nCopyright 2025 example All rights reserved\n개인정보처리방침\n</footer>\n"
+        "<form>\n<input type='text'/>\n<button> 검색 </button>\n</form>\n"
+        "</body>\n</html>"
+    )
 
+    expected = _oracle_text_from_main(main_inner)
+    return url, html_doc.encode("utf-8"), expected, lang, link_items
+
+
+def _write_small_tables(out_dir: str, hosts: list[str]) -> list[str]:
+    """Write seeds/robots/kb_seed (driver-sized dimension tables shared by
+    the sequential and distributed generators); returns the seed hosts."""
     # seeds: 3 sites (mega + two normal), reference config shape
     seed_hosts = hosts[: min(3, len(hosts))]
     seeds_tbl = pa.table(
@@ -309,6 +270,76 @@ def generate_corpus(
         }
     )
     pq.write_table(kb_tbl, f"{out_dir}/kb_seed.parquet")
+    return seed_hosts
+
+
+def generate_corpus(
+    out_dir: str,
+    n_pages: int = 400,
+    n_hosts: int = 6,
+    seed: int = 42,
+    sentinel_every: int = 37,
+    unchanged_every: int = 23,
+    empty_every: int = 41,
+    page_scale: int = 1,
+) -> dict:
+    """Write pages/seeds/robots/kb_seed/ledger_seed parquet into out_dir.
+
+    Returns a manifest dict with per-table row counts and the oracle link
+    graph (url -> ordered list of same-host candidate links) used by the
+    BFS-parity oracle in tests.
+    """
+    rng = random.Random(seed)
+    hosts = [f"mega0.example.org"] + [f"site{i}.example.org" for i in range(1, n_hosts)]
+    sizes = _host_sizes(n_pages, n_hosts)
+
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    urls: list[str] = []
+    warc_ts: list[datetime] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    graph: dict[str, list[tuple[str, str]]] = {}
+
+    row = 0
+    for h_idx, host in enumerate(hosts):
+        size = sizes[h_idx]
+        for j in range(size):
+            url, html_bytes, expected, lang, link_items = _page_record(
+                rng, hosts, h_idx, j, size, row,
+                page_scale, sentinel_every, empty_every,
+            )
+            urls.append(url)
+            warc_ts.append(base_ts + timedelta(seconds=row * 17))
+            htmls.append(html_bytes)
+            texts.append(expected)
+            langs.append(lang)
+            # oracle link graph: absolutized document-order links
+            abs_links = []
+            for href, anchor in link_items:
+                if href.startswith("#") or href.startswith("javascript:"):
+                    continue
+                if href.startswith("/"):
+                    abs_url = f"https://{host}{href}"
+                else:
+                    abs_url = href
+                abs_links.append((abs_url, anchor.strip()))
+            graph[url] = abs_links
+            row += 1
+
+    pages_tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_ts, pa.timestamp("us", tz="UTC")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    pq.write_table(pages_tbl, f"{out_dir}/pages.parquet")
+
+    seed_hosts = _write_small_tables(out_dir, hosts)
 
     # ledger_seed: every `unchanged_every`-th page already processed with
     # its *current* content hash → skip-unchanged path fires
@@ -340,6 +371,124 @@ def generate_corpus(
         "hosts": hosts,
         "sizes": sizes,
         "graph": graph,
+        "seed_base_urls": [f"https://{h}/" for h in seed_hosts],
+    }
+
+
+def generate_corpus_distributed(
+    spark,
+    out_dir: str,
+    n_pages: int,
+    n_hosts: int | None = None,
+    seed: int = 42,
+    sentinel_every: int = 37,
+    unchanged_every: int = 23,
+    empty_every: int = 41,
+    page_scale: int = 1,
+    partitions: int | None = None,
+) -> dict:
+    """Spark-parallel ``generate_corpus`` for bench-scale corpora (the
+    sequential generator builds every page on the driver — ~1.6 ms/page
+    and all html in memory at once, i.e. hours and ~50 GB at 4M pages).
+
+    Identical to the sequential generator in everything the engine can
+    observe structurally: host list, power-law sizes, url scheme, link
+    topology rules, schema, and the deterministic row-cadence markers
+    (lang-unknown/sentinel/empty/ledger rows). Page *content* draws from
+    a per-row rng seeded ``(seed << 32) ^ row`` instead of one shared
+    stream, so bytes differ from ``generate_corpus`` at the same seed but
+    are deterministic regardless of partitioning. No oracle link graph is
+    returned — materializing it on the driver is exactly the scale limit
+    this variant removes (parity tests stay on the sequential path).
+    """
+    from datetime import datetime, timezone
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n_hosts = n_hosts or max(6, n_pages // 2000)
+    hosts = ["mega0.example.org"] + [f"site{i}.example.org" for i in range(1, n_hosts)]
+    sizes = _host_sizes(n_pages, n_hosts)
+    offsets = np.cumsum([0] + sizes)  # row -> host via searchsorted
+    base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 4
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        base = pd.Timestamp(base_ts)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            # bound builder memory: at page_scale 24 a page is ~12 KB of
+            # html, so 2000-row chunks keep each yielded frame ~25 MB
+            for lo in range(0, len(ids), 2000):
+                chunk = ids[lo : lo + 2000]
+                h_idxs = np.searchsorted(offsets, chunk, side="right") - 1
+                urls, htmls, texts, langs = [], [], [], []
+                for row, h_idx in zip(chunk.tolist(), h_idxs.tolist()):
+                    j = row - int(offsets[h_idx])
+                    rng = random.Random((seed << 32) ^ row)
+                    url, html_b, text, lang, _ = _page_record(
+                        rng, hosts, h_idx, j, sizes[h_idx], row,
+                        page_scale, sentinel_every, empty_every,
+                    )
+                    urls.append(url)
+                    htmls.append(html_b)
+                    texts.append(text)
+                    langs.append(lang)
+                yield pd.DataFrame(
+                    {
+                        "url": urls,
+                        "warc_ts": base + pd.to_timedelta(chunk * 17, unit="s"),
+                        "html": htmls,
+                        "text": texts,
+                        "lang": langs,
+                    }
+                )
+
+    pages_path = f"{out_dir}/pages.parquet"
+    (
+        spark.range(0, n_pages, numPartitions=parts)
+        .mapInPandas(gen, schema)
+        .write.mode("overwrite")
+        .parquet(pages_path)
+    )
+
+    seed_hosts = _write_small_tables(out_dir, hosts)
+
+    # ledger_seed: same row cadence as the sequential path, computed from
+    # the written pages (row is recoverable from warc_ts: base + 17s*row)
+    pages = spark.read.parquet(pages_path)
+    row_col = (
+        (F.unix_timestamp("warc_ts") - F.lit(int(base_ts.timestamp()))) / 17
+    ).cast("long")
+    led = (
+        pages.withColumn("_row", row_col)
+        .withColumn("_m", F.pmod("_row", F.lit(unchanged_every)) if unchanged_every else F.lit(-1))
+        .filter(
+            ((F.col("_m") == 4) & (F.col("text") != ""))
+            | (F.col("_m") == 9)
+        )
+        .select(
+            F.xxhash64("url").alias("url_hash"),
+            "url",
+            F.when(F.col("_m") == 4, F.sha2(F.col("text"), 256))
+            .otherwise(F.lit("0" * 64))
+            .alias("content_hash"),
+        )
+        if unchanged_every
+        else spark.createDataFrame([], "url_hash long, url string, content_hash string")
+    )
+    led.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/ledger_seed.parquet")
+
+    return {
+        "n_pages": n_pages,
+        "hosts": hosts,
+        "sizes": sizes,
         "seed_base_urls": [f"https://{h}/" for h in seed_hosts],
     }
 
