@@ -726,7 +726,9 @@ def longrun() -> None:
             total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
         return total
 
-    def run(compact_every: int, tag: str) -> list[dict]:
+    ratio = float(os.environ.get("BENCH_LONGRUN_RATIO", "0"))
+
+    def run(compact_every: int, tag: str, terminal_ratio: float = 0.0) -> list[dict]:
         spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
         work = tempfile.mkdtemp(prefix=f"longrun_{tag}")
         rows = []
@@ -746,6 +748,7 @@ def longrun() -> None:
                     distributed_seq=True,
                     metrics=False,
                     compact_every=compact_every,
+                    compact_terminal_ratio=terminal_ratio,
                 ),
             )
             engine.bootstrap_full_frontier()
@@ -775,11 +778,39 @@ def longrun() -> None:
 
     comp = run(every, "compacted")
     ctrl = run(0, "control")
+    rat = run(0, "ratio", terminal_ratio=ratio) if ratio else None
 
     def third_avg(rows, which):
         k = max(1, len(rows) // 3)
         part = rows[:k] if which == "early" else rows[-k:]
         return round(sum(r["sec"] for r in part) / len(part), 2)
+
+    def sawtooth(rows, period):
+        """avg wave sec in the first vs second half of each compaction
+        cycle — a hot log whose terminal fraction hurts shows the
+        late-cycle half (just before compaction) slower than the early
+        half. Compaction waves themselves (phase 0 ends the cycle) carry
+        the rewrite cost and are reported separately."""
+        if not period:
+            return None
+        early, late, at = [], [], []
+        for r in rows:
+            phase = (r["wave"] - 1) % period  # wave `period` compacts
+            if r["wave"] % period == 0:
+                at.append(r["sec"])
+            elif phase < period // 2:
+                early.append(r["sec"])
+            else:
+                late.append(r["sec"])
+        avg = lambda xs: round(sum(xs) / len(xs), 2) if xs else None
+        return {
+            "early_cycle_avg_sec": avg(early),
+            "late_cycle_avg_sec": avg(late),
+            "compaction_wave_avg_sec": avg(at),
+            "late_over_early": (
+                round(avg(late) / avg(early), 3) if early and late else None
+            ),
+        }
 
     out = {
         "metric": "longrun_bench",
@@ -793,6 +824,7 @@ def longrun() -> None:
             "late_third_wave_sec": third_avg(comp, "late"),
             "final_hot_log_mb": comp[-1]["hot_log_mb"],
             "final_archive_mb": comp[-1]["archive_mb"],
+            "sawtooth": sawtooth(comp, every),
         },
         "control": {
             "early_third_wave_sec": third_avg(ctrl, "early"),
@@ -815,7 +847,17 @@ def longrun() -> None:
             for r in rows[::step]
         )
 
+    if rat:
+        out["ratio_triggered"] = {
+            "ratio": ratio,
+            "early_third_wave_sec": third_avg(rat, "early"),
+            "late_third_wave_sec": third_avg(rat, "late"),
+            "final_hot_log_mb": rat[-1]["hot_log_mb"],
+            "final_archive_mb": rat[-1]["archive_mb"],
+        }
+
     step = max(1, len(comp) // 12)
+    saw = out["compacted"]["sawtooth"]
     with open("BENCH/LONGRUN.md", "w") as f:
         f.write(
             "# Long-run compaction evidence — flat waves under growing history\n\n"
@@ -832,8 +874,26 @@ def longrun() -> None:
             f"late-third avg wave: **{out['compacted']['late_third_wave_sec']}s** "
             f"(history grew ~{out['history_growth']}x across the run)\n"
             f"- hot log ends at {out['compacted']['final_hot_log_mb']} MB; archive "
-            f"absorbed {out['compacted']['final_archive_mb']} MB of terminal history\n\n"
-            "## Control (compact_every=0 — hot log accretes all history)\n\n"
+            f"absorbed {out['compacted']['final_archive_mb']} MB of terminal history\n"
+            f"- saw-tooth check (within each {every}-wave compaction cycle): "
+            f"early-cycle avg {saw['early_cycle_avg_sec']}s vs late-cycle "
+            f"(pre-compaction) avg {saw['late_cycle_avg_sec']}s — ratio "
+            f"**{saw['late_over_early']}**; compaction waves themselves avg "
+            f"{saw['compaction_wave_avg_sec']}s (they carry the rewrite)\n\n"
+            + (
+                "## Ratio-triggered run (compact_terminal_ratio="
+                f"{ratio}, no fixed cadence)\n\n"
+                "| wave | sec | crawled total | hot log MB | archive MB |\n"
+                "|---|---|---|---|---|\n"
+                + curve(rat, max(1, len(rat) // 12))
+                + f"\n- early-third avg wave: {out['ratio_triggered']['early_third_wave_sec']}s, "
+                f"late-third avg wave: {out['ratio_triggered']['late_third_wave_sec']}s; "
+                f"hot log ends at {out['ratio_triggered']['final_hot_log_mb']} MB, archive "
+                f"{out['ratio_triggered']['final_archive_mb']} MB\n\n"
+                if rat
+                else ""
+            )
+            + "## Control (compact_every=0 — hot log accretes all history)\n\n"
             "| wave | sec | crawled total | hot log MB | archive MB |\n"
             "|---|---|---|---|---|\n" + curve(ctrl, max(1, len(ctrl) // 12)) + "\n"
             f"- early-third avg wave: {out['control']['early_third_wave_sec']}s, "

@@ -160,6 +160,14 @@ class CrawlConfig:
     # one resolved dir (Iceberg compaction stand-in; bounds file-listing
     # cost and the superseded-row fraction). 0 = never.
     compact_every: int = 0
+    # adaptive alternative (composable with compact_every): compact when
+    # the terminal rows appended to the hot frontier log since the last
+    # compaction exceed this fraction of the live pending set — the hot
+    # log's waste fraction is then bounded by ~2×ratio regardless of wave
+    # cadence (a fixed compact_every K lets small waves accrete K waves
+    # of terminal history, and forces pointless rewrites on huge waves).
+    # Counter rides the catalog meta, so it survives resume. 0 = off.
+    compact_terminal_ratio: float = 0.0
     # AQE inside the wave hot loop. The wave's plans are fully
     # hand-partitioned — explicit n_buckets repartition on uniform
     # xxhash64 keys, plan-asserted broadcasts, salted host aggregates —
@@ -952,9 +960,26 @@ class CrawlEngine:
 
         with _T("nonempty.count"):
             n_fetched = nonempty.count()
+        # Decide compaction BEFORE the commit so the terminal counter's
+        # reset/advance publishes atomically with this wave's deltas
+        # (a crash between commit and compaction then replays with the
+        # correct counter). n_batch undercounts terminals (gated/blocked
+        # rows are also terminal), so the trigger can only fire a touch
+        # later than the true ratio — conservative, never spurious.
+        do_compact = bool(cfg.compact_every and w % cfg.compact_every == 0)
+        if cfg.compact_terminal_ratio > 0:
+            terminal_since = (
+                int(cat.get_meta("frontier_terminal_since_compact", 0)) + n_batch
+            )
+            live_after = max(1, n_pending - n_batch + n_new)
+            if terminal_since >= cfg.compact_terminal_ratio * live_after:
+                do_compact = True
+            cat.set_meta(
+                "frontier_terminal_since_compact", 0 if do_compact else terminal_since
+            )
         with _T("commit"):
             cat.commit(w)
-        if cfg.compact_every and w % cfg.compact_every == 0:
+        if do_compact:
             # Iceberg maintenance stand-in: coalesce delta stacks; the
             # MOR logs are rewritten RESOLVED (superseded versions drop)
             with _T("compact"):

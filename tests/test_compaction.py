@@ -126,6 +126,54 @@ def test_resume_across_compaction(spark, corpus, tmp_path_factory):
     assert _seen_sig(e2) == _seen_sig(ref)
 
 
+def test_ratio_triggered_compaction(spark, corpus, tmp_path_factory):
+    """compact_terminal_ratio: with no fixed cadence, compaction must
+    fire on its own once the consumed rows accumulated since the last
+    compaction exceed ratio x live-pending — same crawl semantics as the
+    uncompacted run, terminal history actually leaves the hot log, and
+    the meta counter rides the atomic commit (resume-safe)."""
+    d = corpus["dir"]
+    plain = _mk(spark, d, tmp_path_factory.mktemp("rt_plain"), compact_every=0)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("rt_ratio")),
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        config=CrawlConfig(
+            mode="fifo", batch_size=20, metrics=False,
+            compact_every=0, compact_terminal_ratio=0.25,
+        ),
+    )
+    plain.run(max_waves=6)
+    eng.run(max_waves=6)
+
+    # identical crawl semantics
+    assert _full_sig(eng) == _full_sig(plain)
+    assert _seen_sig(eng) == _seen_sig(plain)
+
+    # the trigger actually fired: terminal history moved to the archive
+    # without any compact_every cadence
+    assert eng.cat.read("frontier_archive").count() > 0
+    # and the counter was reset at the trigger point, then re-accumulated
+    # strictly less than a full run's worth of consumed rows
+    counter = int(eng.cat.get_meta("frontier_terminal_since_compact", -1))
+    total_consumed = sum(
+        1 for _ in eng.cat.read("frontier").filter(F.col("state") != "pending").collect()
+    ) + eng.cat.read("frontier_archive").count()
+    assert 0 <= counter < total_consumed
+
+    # resume keeps the counter (it published with the commit): a fresh
+    # engine over the same workdir reads the same value
+    eng2 = CrawlEngine(
+        spark,
+        eng.cat.root,
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        config=eng.config,
+    )
+    assert int(eng2.cat.get_meta("frontier_terminal_since_compact", -1)) == counter
+
+
 def test_compact_split_routes_null_predicate_rows_to_archive(spark, tmp_path):
     """SQL three-valued logic: filter(p) and filter(~p) BOTH drop rows
     where p is NULL. compact_split is a generic API, so a resolver/filter
