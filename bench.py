@@ -157,11 +157,14 @@ def run_operator_bench(spark, sf_dir: str) -> dict:
     return out
 
 
-def build(master: str, shuffle: int):
+def build(master: str, shuffle: int, extra_conf: dict | None = None):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from crawler_spark.session import build_session
 
-    return build_session(app_name="bench", master=master, shuffle_partitions=shuffle)
+    return build_session(
+        app_name="bench", master=master, shuffle_partitions=shuffle,
+        extra_conf=extra_conf,
+    )
 
 
 def main() -> None:
@@ -236,10 +239,19 @@ def scaling() -> None:
     # widest) — otherwise the narrow leg runs a different physical plan
     # and the comparison measures partitioning, not cores
     shuffle = int(os.environ.get("BENCH_SHUFFLE", str(max(8, max(levels)))))
+    # identical on every level (fairness) — zstd shuffle/persisted-block
+    # compression so a multi-million-URL wave's transient state (the
+    # once-bucketed pages cache spill + wave shuffles of raw html) fits
+    # the sandbox's single small disk; a cluster spills to executor-local
+    # NVMe and wouldn't need it
+    conf = {
+        "spark.io.compression.codec": os.environ.get("BENCH_CODEC", "zstd"),
+        "spark.rdd.compress": "true",
+    }
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(rounds):
         for cpus in levels:
-            spark = build(f"local[{cpus}]", shuffle=shuffle)
+            spark = build(f"local[{cpus}]", shuffle=shuffle, extra_conf=conf)
             work = tempfile.mkdtemp(prefix=f"scale{cpus}")
             try:
                 runs[cpus].append(

@@ -139,6 +139,10 @@ class CrawlConfig:
     # seen_filters table layout and the exact-confirm composition, so
     # crawl state is identical either way (test-pinned).
     seen_filter_kind: str = "bloom"
+    # table storage: 'parquet' (JSON-checkpoint catalog, sandbox default)
+    # or 'iceberg' (workdir is then a catalog.namespace identifier;
+    # jar-gated — see tableio_iceberg.py / docs/ICEBERG.md)
+    catalog_backend: str = "parquet"
     # two-phase distributed seq assignment (no single-partition sort);
     # bit-identical to the Window path, used for huge waves
     distributed_seq: bool = False
@@ -252,7 +256,12 @@ class CrawlEngine:
         # writes are O(delta). With it, the hot log is proportional to
         # the live frontier + deltas since the last compaction.
         B = self.config.n_buckets
-        cat = TableCatalog(spark, workdir)
+        if self.config.catalog_backend == "parquet":
+            cat = TableCatalog(spark, workdir)
+        else:
+            from crawler_spark.tableio_iceberg import make_catalog
+
+            cat = make_catalog(spark, workdir, self.config.catalog_backend)
         cat.register("frontier", APPEND)
         cat.register("frontier_archive", APPEND)
         cat.register("seen", BUCKET_APPEND, n_buckets=B)

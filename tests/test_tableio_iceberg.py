@@ -1,0 +1,120 @@
+"""Iceberg backend: statement-builder units run everywhere; catalog
+behavior tests are jar-gated (skip when the session has no Iceberg
+catalog — this sandbox ships no jars, see tableio_iceberg.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.tableio import (
+    APPEND,
+    BUCKET_APPEND,
+    BUCKET_REPLACE,
+    REPLACE,
+    _Spec,
+)
+from crawler_spark.tableio_iceberg import (
+    IcebergUnavailable,
+    ddl_for,
+    iceberg_available,
+    maintenance_sql,
+    make_catalog,
+)
+
+
+def test_ddl_bucketed_append_uses_identity_partition():
+    sql = ddl_for("ice.crawl.seen", _Spec(BUCKET_APPEND, 32), "url_hash BIGINT, u STRING")
+    assert "USING iceberg" in sql
+    assert "_b INT" in sql and "PARTITIONED BY (_b)" in sql
+    # NOT the bucket transform: murmur3 ids wouldn't match the engine's
+    # pmod bucketing that read_buckets/anti-join co-partitioning rely on
+    assert "bucket(" not in sql
+    assert "'format-version'='2'" in sql
+
+
+def test_ddl_key_is_bucket_partitions_on_the_key_itself():
+    spec = _Spec(BUCKET_REPLACE, bucket_key="bucket", key_is_bucket=True)
+    sql = ddl_for("ice.crawl.seen_filters", spec, "bucket INT, blob BINARY")
+    assert "PARTITIONED BY (bucket)" in sql
+    assert "_b INT" not in sql
+
+
+def test_ddl_replace_mode_partitions_by_wave():
+    sql = ddl_for("ice.crawl.kb", _Spec(REPLACE), "site_id STRING, n BIGINT")
+    assert "wave INT" in sql and "PARTITIONED BY (wave)" in sql
+
+
+def test_ddl_append_mode_is_unpartitioned():
+    sql = ddl_for("ice.crawl.crawled", _Spec(APPEND), "url STRING")
+    assert "PARTITIONED BY" not in sql
+
+
+def test_maintenance_actions_cover_compaction_and_expiry():
+    acts = maintenance_sql("ice", "ice.crawl.seen", _Spec(BUCKET_APPEND, 32))
+    joined = "\n".join(acts)
+    assert "rewrite_data_files" in joined
+    assert "expire_snapshots" in joined
+    assert "remove_orphan_files" in joined
+    # procedures take the catalog-relative identifier
+    assert "table => 'crawl.seen'" in joined
+    # REPLACE tables additionally drop superseded wave partitions
+    reps = maintenance_sql("ice", "ice.crawl.kb", _Spec(REPLACE))
+    assert any("DELETE FROM ice.crawl.kb WHERE wave <" in a for a in reps)
+
+
+def test_factory_selects_backends(spark, tmp_path):
+    from crawler_spark.tableio import TableCatalog
+
+    cat = make_catalog(spark, str(tmp_path / "pq"), "parquet")
+    assert isinstance(cat, TableCatalog)
+    with pytest.raises(ValueError):
+        make_catalog(spark, str(tmp_path), "delta")
+
+
+def test_iceberg_unavailable_raises_actionable_error(spark):
+    """Sandbox has no jars: the backend must refuse loudly with setup
+    instructions, never half-construct."""
+    if iceberg_available(spark, "ice"):
+        pytest.skip("Iceberg actually available — covered by the gated suite")
+    with pytest.raises(IcebergUnavailable, match="iceberg-spark-runtime"):
+        make_catalog(spark, "ice.crawl_test", "iceberg")
+
+
+# -- jar-gated behavior suite (runs only where Iceberg is configured) ----
+
+
+@pytest.fixture
+def ice_cat(spark):
+    if not iceberg_available(spark, "ice"):
+        pytest.skip("no Iceberg catalog 'ice' in this session")
+    cat = make_catalog(spark, "ice.crawl_t", "iceberg")
+    yield cat
+    cat.destroy()
+
+
+def test_wave_commit_is_atomic_across_tables(ice_cat, spark):
+    ice_cat.register("a", APPEND)
+    ice_cat.register("b", BUCKET_APPEND, n_buckets=4)
+    df = spark.createDataFrame([(1, "x")], "url_hash LONG, u STRING")
+    ice_cat.stage("a", df, 0)
+    # staged but uncommitted: invisible (journal has no snapshot yet)
+    assert ice_cat.read("a", df.schema).count() == 0
+    ice_cat.stage("b", df, 0)
+    ice_cat.commit(0)
+    assert ice_cat.committed_wave == 0
+    assert ice_cat.read("a").count() == 1
+    assert ice_cat.read_buckets("b", [1]).count() == 1  # 1 % 4
+
+
+def test_rollback_orphans_discards_unjournaled_appends(ice_cat, spark):
+    ice_cat.register("a", APPEND)
+    df = spark.createDataFrame([(1, "x")], "url_hash LONG, u STRING")
+    ice_cat.stage("a", df, 0)
+    ice_cat.commit(0)
+    ice_cat.stage("a", df, 1)  # crash before commit(1)
+    from crawler_spark.tableio_iceberg import IcebergTableCatalog
+
+    cat2 = IcebergTableCatalog(spark, ice_cat.root)
+    cat2.register("a", APPEND)
+    assert cat2.committed_wave == 0
+    assert cat2.read("a").count() == 1  # the orphaned append rolled back
