@@ -338,6 +338,132 @@ def scaling() -> None:
         )
 
 
+def filter_read() -> None:
+    """Bucket-pruned Bloom-read evidence: per-wave ``seen_filters`` bytes
+    read must track the wave's CANDIDATE BUCKET SPREAD, not total filter
+    state. A small wave touches few url_hash buckets, so only those
+    blobs enter the cogroup probe; a big wave legitimately touches ~all.
+    (At 10^10 seen keys the filter state is ~10-15 GB — an unpruned read
+    ships all of it through a shuffle every wave, VERDICT r3 item 1.)
+
+    Method: spy on ``cat.read_buckets`` to capture the bucket list the
+    wave requests for seen_filters, then size those blobs' leaf dirs from
+    the committed checkpoint's bucket map vs the full table.
+    """
+    import shutil
+    import tempfile
+
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    n_pages = int(os.environ.get("BENCH_FR_PAGES", "120000"))
+    n_buckets = int(os.environ.get("BENCH_FR_BUCKETS", "512"))
+    batches = [
+        int(x) for x in os.environ.get("BENCH_FR_BATCHES", "20,2000").split(",")
+    ]
+    waves = int(os.environ.get("BENCH_FR_WAVES", "3"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    d = _corpus(n_pages, 1)
+
+    def leaf_bytes(work: str, rel: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(os.path.join(work, rel)):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    rows = []
+    for batch in batches:
+        spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+        work = tempfile.mkdtemp(prefix=f"fread{batch}")
+        try:
+            engine = CrawlEngine(
+                spark,
+                work,
+                pages=spark.read.parquet(f"{d}/pages.parquet"),
+                seeds=spark.read.parquet(f"{d}/seeds.parquet").limit(1),
+                robots=spark.read.parquet(f"{d}/robots.parquet"),
+                config=CrawlConfig(
+                    mode="priority",
+                    batch_size=batch,
+                    wave_seconds=1e6,
+                    same_domain_only=False,
+                    use_bloom=True,
+                    n_buckets=n_buckets,
+                    distributed_seq=True,
+                    metrics=False,
+                ),
+            )
+            engine.bootstrap_full_frontier()
+            cat = engine.cat
+            captured: dict = {}
+            orig = cat.read_buckets
+
+            def spy(name, buckets, schema=None, _o=orig, _c=captured):
+                if name == "seen_filters":
+                    _c["buckets"] = sorted(int(b) for b in buckets)
+                return _o(name, buckets, schema)
+
+            cat.read_buckets = spy
+            for w in range(1, waves + 1):
+                captured.clear()
+                engine.run_wave()
+                bmap = cat._state["buckets"].get("seen_filters", {})
+                total_b = sum(leaf_bytes(work, rel) for rel in bmap.values())
+                read_list = captured.get("buckets", [])
+                read_b = sum(
+                    leaf_bytes(work, bmap[str(b)])
+                    for b in read_list
+                    if str(b) in bmap
+                )
+                rows.append(
+                    {
+                        "batch_size": batch,
+                        "wave": w,
+                        "buckets_read": len(read_list),
+                        "buckets_total": n_buckets,
+                        "filters_read_mb": round(read_b / 1e6, 3),
+                        "filters_total_mb": round(total_b / 1e6, 3),
+                        "read_fraction": round(read_b / max(1, total_b), 3),
+                    }
+                )
+                print(json.dumps(rows[-1]), flush=True)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+
+    out = {"metric": "filter_read_bench", "n_buckets": n_buckets, "rows": rows}
+    print(json.dumps(out))
+    os.makedirs("BENCH", exist_ok=True)
+    small = [r for r in rows if r["batch_size"] == min(batches)]
+    big = [r for r in rows if r["batch_size"] == max(batches)]
+    avg = lambda rs, k: round(sum(r[k] for r in rs) / max(1, len(rs)), 3)
+    with open("BENCH/FILTER_READ.md", "w") as f:
+        f.write(
+            "# Bucket-pruned Bloom read — bytes read track candidate "
+            "spread, not state size\n\n"
+            f"{n_pages:,}-page corpus, {n_buckets} url_hash buckets, bloom "
+            "seen set. The wave reads only the seen_filters blobs of the "
+            "buckets its candidates hash into (`read_buckets`, manifest-"
+            "driven); the table's total size is irrelevant to a small "
+            "wave's read.\n\n"
+            "| batch | wave | buckets read | of | MB read | MB total | fraction |\n"
+            "|---|---|---|---|---|---|---|\n"
+            + "".join(
+                "| {batch_size} | {wave} | {buckets_read} | {buckets_total} "
+                "| {filters_read_mb} | {filters_total_mb} | {read_fraction} |\n".format(**r)
+                for r in rows
+            )
+            + f"\n- small waves (batch {min(batches)}): avg read fraction "
+            f"**{avg(small, 'read_fraction')}** — the read tracks the "
+            "wave's candidate spread\n"
+            f"- big waves (batch {max(batches)}): avg read fraction "
+            f"{avg(big, 'read_fraction')} — a wave that genuinely probes "
+            "~every bucket legitimately reads ~everything\n"
+            "- the write side is likewise pruned: only blobs whose bucket "
+            "gained keys are rewritten (wave.py stage of seen_filters "
+            "with touched=s_buckets)\n"
+        )
+
+
 def growth() -> None:
     """State-growth evidence: per-wave wall-time must NOT grow with total
     crawl state (the delta-commit design property).
@@ -928,5 +1054,7 @@ if __name__ == "__main__":
         emb_scale()
     elif "--longrun" in sys.argv:
         longrun()
+    elif "--filter-read" in sys.argv:
+        filter_read()
     else:
         main()
