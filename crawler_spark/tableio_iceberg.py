@@ -197,11 +197,19 @@ class IcebergTableCatalog:
             .collect()
         )
         if not rows:
-            return {"wave": -1, "snapshots": {}, "meta": {}}
+            return {"wave": -1, "snapshots": {}, "meta": {}, "waves": {}}
         r = rows[0]
+        snaps = json.loads(r["snapshots"])
         return {
             "wave": r["wave"],
-            "snapshots": json.loads(r["snapshots"]),
+            # snapshots carries {table: [snapshot_id, staged_wave]} on
+            # disk (older journals may hold bare ids — tolerated)
+            "snapshots": {
+                k: (v[0] if isinstance(v, list) else v) for k, v in snaps.items()
+            },
+            "waves": {
+                k: v[1] for k, v in snaps.items() if isinstance(v, list)
+            },
             "meta": json.loads(r["meta"] or "{}"),
         }
 
@@ -285,14 +293,20 @@ class IcebergTableCatalog:
             pending, self._pending = self._pending, {}
             pending_meta, self._pending_meta = self._pending_meta, {}
         snaps = dict(self._journal["snapshots"])
-        for name in pending:
+        waves = dict(self._journal["waves"])
+        for name, p in pending.items():
             snaps[name] = self._current_snapshot(name)
+            waves[name] = p["wave"]
         meta = {**self._journal["meta"], **pending_meta}
-        row = [(wave, json.dumps(snaps), json.dumps(meta), time.time())]
+        self._append_journal(wave, snaps, waves, meta)
+        self._journal = {"wave": wave, "snapshots": snaps, "waves": waves, "meta": meta}
+
+    def _append_journal(self, wave: int, snaps: dict, waves: dict, meta: dict) -> None:
+        disk = {k: [sid, waves.get(k)] for k, sid in snaps.items()}
+        row = [(wave, json.dumps(disk), json.dumps(meta), time.time())]
         self.spark.createDataFrame(
             row, "wave INT, snapshots STRING, meta STRING, committed_at DOUBLE"
         ).writeTo(self._q(_COMMITS)).append()
-        self._journal = {"wave": wave, "snapshots": snaps, "meta": meta}
 
     def set_meta(self, key: str, value) -> None:
         with self._lock:
@@ -311,10 +325,10 @@ class IcebergTableCatalog:
         df = self.spark.read.option("snapshot-id", str(sid)).table(self._q(name))
         spec = self.tables[name]
         if spec.mode == REPLACE:
-            # latest snapshot partition only (appends accrete history)
+            # the journaled staged-wave partition only (appends accrete
+            # history; older partitions are maintenance-deleted)
             df = df.filter(
-                F.col("wave")
-                == df.agg(F.max("wave")).collect()[0][0]
+                F.col("wave") == F.lit(self._journal["waves"].get(name, -1))
             ).drop("wave")
         elif spec.mode in (BUCKET_APPEND, BUCKET_REPLACE) and not spec.key_is_bucket:
             df = df.drop("_b")
@@ -371,17 +385,9 @@ class IcebergTableCatalog:
         snaps = dict(self._journal["snapshots"])
         for n in names:
             snaps[n] = self._current_snapshot(n)
-        row = [
-            (
-                self._journal["wave"],
-                json.dumps(snaps),
-                json.dumps(self._journal["meta"]),
-                time.time(),
-            )
-        ]
-        self.spark.createDataFrame(
-            row, "wave INT, snapshots STRING, meta STRING, committed_at DOUBLE"
-        ).writeTo(self._q(_COMMITS)).append()
+        self._append_journal(
+            self._journal["wave"], snaps, self._journal["waves"], self._journal["meta"]
+        )
         self._journal["snapshots"] = snaps
 
     def destroy(self) -> None:
