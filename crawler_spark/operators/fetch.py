@@ -69,25 +69,55 @@ def fetch_one(
         return None
 
 
-def http_fetch(
-    batch: DataFrame,
-    url_col: str = "canonical_url",
+def fetch_binary_one(
+    url: str,
     timeout_s: float = 10.0,
-    max_concurrency: int = 20,
-    per_host: int = 20,
     user_agent: str = DEFAULT_USER_AGENT,
     max_bytes: int = 10 * 2**20,
-) -> DataFrame:
-    """Fetch every row's ``url_col`` over HTTP → batch columns + ``_html``.
+) -> tuple[bytes | None, str | None]:
+    """One attachment GET → (bytes, content_type), (None, None) on failure.
 
-    ``max_concurrency`` bounds in-flight requests per task; ``per_host``
-    bounds them per hostname within the task (executor-local caps — with
-    E executors a host sees at most E×per_host connections; size
-    accordingly, exactly like sizing the reference's connector limits
-    per worker process).
-    """
-    out_schema = StructType(batch.schema.fields + [StructField("_html", BinaryType())])
+    Reference semantics (aio_extractor.py:114-133): ``raise_for_status``
+    keeps only successful responses (redirects followed), the body is
+    streamed REGARDLESS of content type (attachments are pdf/docx/hwp/…),
+    any exception maps to a skipped attachment. Content type comes from
+    the response header with the reference's octet-stream fallback."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = getattr(resp, "status", None) or resp.getcode()
+            if status != 200:
+                return None, None
+            ctype = (
+                (resp.headers.get("Content-Type") or "application/octet-stream")
+                .split(";")[0]
+                .strip()
+                or "application/octet-stream"
+            )
+            return resp.read(max_bytes), ctype
+    except Exception:
+        return None, None
+
+
+def _pooled_fetch(
+    batch: DataFrame,
+    url_col: str,
+    out_fields: list[StructField],
+    fetchfn,
+    max_concurrency: int,
+    per_host: int,
+) -> DataFrame:
+    """Shared fetch scaffolding: mapInPandas over Arrow batches, one
+    thread pool per task capped at ``max_concurrency`` in-flight requests
+    with at most ``per_host`` per hostname (executor-local caps — with E
+    executors a host sees at most E×per_host connections; size like the
+    reference's per-worker connector limits). ``fetchfn(url)`` returns a
+    tuple aligned with ``out_fields``."""
+    out_schema = StructType(batch.schema.fields + out_fields)
     cols = batch.columns
+    names = [f_.name for f_ in out_fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import threading
@@ -104,16 +134,69 @@ def http_fetch(
                     s = sems[host] = threading.BoundedSemaphore(per_host)
                 return s
 
-        def fetch(url: str) -> bytes | None:
+        def fetch(url: str) -> tuple:
             with sem_for(urlparse(url).netloc.lower()):
-                return fetch_one(url, timeout_s, user_agent, max_bytes)
+                return fetchfn(url)
 
         with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
             for pdf in batches:
                 # pool.map preserves input order → row alignment is exact
-                htmls = list(pool.map(fetch, (str(u) for u in pdf[url_col])))
+                results = list(pool.map(fetch, (str(u) for u in pdf[url_col])))
                 out = pdf[cols].copy()
-                out["_html"] = pd.Series(htmls, index=out.index, dtype=object)
+                for i, name in enumerate(names):
+                    out[name] = pd.Series(
+                        [r[i] for r in results], index=out.index, dtype=object
+                    )
                 yield out
 
     return batch.mapInPandas(gen, out_schema)
+
+
+def http_fetch(
+    batch: DataFrame,
+    url_col: str = "canonical_url",
+    timeout_s: float = 10.0,
+    max_concurrency: int = 20,
+    per_host: int = 20,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 10 * 2**20,
+) -> DataFrame:
+    """Fetch every row's ``url_col`` over HTTP → batch columns + ``_html``
+    (NULL on any failure or non-html response — the S2 keep-rules)."""
+    return _pooled_fetch(
+        batch,
+        url_col,
+        [StructField("_html", BinaryType())],
+        lambda u: (fetch_one(u, timeout_s, user_agent, max_bytes),),
+        max_concurrency,
+        per_host,
+    )
+
+
+def http_fetch_attachments(
+    batch: DataFrame,
+    url_col: str = "attachment_url",
+    timeout_s: float = 10.0,
+    max_concurrency: int = 20,
+    per_host: int = 20,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 10 * 2**20,
+) -> DataFrame:
+    """Fetch attachment binaries (S3, real) → batch columns +
+    ``_content`` (binary, NULL on failure) + ``_content_type``. Feed
+    ``_content`` to operators/attachments.py parse_attachments — the
+    same interface the simulated binary plumbing uses, so the stage
+    swaps in behind the existing parsers."""
+    from pyspark.sql.types import StringType
+
+    return _pooled_fetch(
+        batch,
+        url_col,
+        [
+            StructField("_content", BinaryType()),
+            StructField("_content_type", StringType()),
+        ],
+        lambda u: fetch_binary_one(u, timeout_s, user_agent, max_bytes),
+        max_concurrency,
+        per_host,
+    )

@@ -17,7 +17,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import pytest
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.fetch import fetch_one, http_fetch
+from crawler_spark.operators.fetch import (
+    fetch_binary_one,
+    fetch_one,
+    http_fetch,
+    http_fetch_attachments,
+)
 
 # path -> (status, content_type, body_bytes); body may contain invalid
 # utf-8 (the keep rule passes RAW bytes; decode-with-ignore is downstream)
@@ -58,6 +63,10 @@ PAGES: dict[str, tuple[int, str, bytes]] = {
     ),
     "/plain": (200, "text/plain", b"not html, must be dropped"),
     "/missing": (404, "text/html", b"gone"),
+    # attachment fixtures: binaries of NON-html types must be KEPT by the
+    # binary fetch (and are exactly what the html fetch drops)
+    "/files/a.pdf": (200, "application/pdf", b"%PDF-1.4 fake body \x00\x01"),
+    "/files/b.bin": (200, "", b"\x00\xffopaque"),  # header absent -> octet-stream
 }
 
 SLOW_S = 3.0
@@ -122,6 +131,38 @@ def test_http_fetch_operator_alignment_and_nulls(spark, server):
     assert rows[f"{server}/missing"] is None
     assert rows[f"{server}/plain"] is None
     assert rows["http://127.0.0.1:1/refused"] is None
+
+
+def test_fetch_binary_keep_rules(server):
+    """S3 semantics (reference aio_extractor.py:114-133): keep ANY
+    content type on success, fail closed on 404/timeout/refused."""
+    body, ctype = fetch_binary_one(f"{server}/files/a.pdf")
+    assert body == PAGES["/files/a.pdf"][2] and ctype == "application/pdf"
+    body, ctype = fetch_binary_one(f"{server}/plain")  # html fetch drops this
+    assert body == PAGES["/plain"][2] and ctype == "text/plain"
+    body, ctype = fetch_binary_one(f"{server}/files/b.bin")
+    assert body == PAGES["/files/b.bin"][2]
+    assert ctype == "application/octet-stream"  # header-absent fallback
+    assert fetch_binary_one(f"{server}/missing") == (None, None)
+    assert fetch_binary_one(f"{server}/slow", timeout_s=0.3) == (None, None)
+    assert fetch_binary_one("http://127.0.0.1:1/x", timeout_s=0.5) == (None, None)
+
+
+def test_http_fetch_attachments_operator(spark, server):
+    urls = [
+        f"{server}/files/a.pdf",
+        f"{server}/missing",
+        f"{server}/files/b.bin",
+    ]
+    batch = spark.createDataFrame([(u,) for u in urls], "attachment_url string")
+    rows = {
+        r["attachment_url"]: (r["_content"], r["_content_type"])
+        for r in http_fetch_attachments(batch, timeout_s=2.0).collect()
+    }
+    assert bytes(rows[f"{server}/files/a.pdf"][0]) == PAGES["/files/a.pdf"][2]
+    assert rows[f"{server}/files/a.pdf"][1] == "application/pdf"
+    assert rows[f"{server}/missing"] == (None, None)
+    assert rows[f"{server}/files/b.bin"][1] == "application/octet-stream"
 
 
 def _mk_seeds(spark, base):
