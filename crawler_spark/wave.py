@@ -160,6 +160,14 @@ class CrawlConfig:
     # kwargs passed through to operators.fetch.http_fetch
     # (timeout_s, max_concurrency, per_host, user_agent, max_bytes)
     http_opts: dict | None = None
+    # attachment stage (S3/E9/S7): 'off' (default — crawl parity corpora
+    # carry no attachment payloads), 'http' (fetch binaries for real via
+    # http_fetch_attachments), or 'table' (simulated: look payloads up
+    # in the engine's attachments DataFrame — the deterministic oracle).
+    # When on, each crawled page's text gains the reference's attachment
+    # text blocks in link-document order, and fetch/parse failures land
+    # in the failed_attachments table with their raw payload.
+    attachments: str = "off"
     # every K waves, coalesce each state log's per-wave delta dirs into
     # one resolved dir (Iceberg compaction stand-in; bounds file-listing
     # cost and the superseded-row fraction). 0 = never.
@@ -195,11 +203,20 @@ class CrawlEngine:
         kb_seed: DataFrame | None = None,
         ledger_seed: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        attachments: DataFrame | None = None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
         self.pages = pages
         self.seeds_df = seeds
+        # simulated attachment payloads (url, payload) for
+        # config.attachments == 'table' — the parity oracle for the real
+        # http fetch, exactly like pages vs fetch_mode='http'
+        self.attachments_df = attachments
+        if self.config.attachments == "table":
+            assert attachments is not None, (
+                "attachments='table' needs an attachments DataFrame (url, payload)"
+            )
         self.robots_df = robots if robots is not None else spark.createDataFrame(
             [], schemas.ROBOTS
         )
@@ -276,9 +293,90 @@ class CrawlEngine:
             ("packets", APPEND),
             ("rejected", APPEND),
             ("metrics", APPEND),
+            ("failed_attachments", APPEND),
         ]:
             cat.register(name, mode)
         self.cat = cat
+
+    def _attachment_blocks(self, changed):
+        """S3/E9/S7: classify each changed page's extracted links into
+        attachment candidates, fetch their payloads (real http or the
+        simulated table), parse to the reference's text blocks, and
+        return (blocks, failures):
+
+        * blocks — (url_hash, att_text): the page's attachment blocks
+          concatenated in link-document order, ready to append to the
+          crawled text (reference data_extractor.py:148-161 appends
+          in-line during the link loop);
+        * failures — (url, reason, payload): fetch- or parse-failed
+          attachments for the failed_attachments sink (S7).
+
+        Each distinct attachment URL is fetched and parsed ONCE per wave
+        (distinct before the expensive stage), then joined back to every
+        page that links it."""
+        from crawler_spark.operators.attachments import (
+            classify_attachment_links,
+            parse_attachments,
+        )
+
+        att = (
+            changed.select(
+                F.col("url_hash").alias("page_hash"),
+                F.concat(F.lit("https://"), F.col("base_netloc")).alias("base_url"),
+                F.posexplode("ex.links").alias("att_idx", "_l"),
+            )
+            .select(
+                "page_hash", "base_url", "att_idx", F.col("_l.url").alias("url")
+            )
+        )
+        att = classify_attachment_links(att, "url", "base_url").filter(
+            F.col("is_attachment")
+        ).select("page_hash", "att_idx", "attachment_url")
+
+        uniq = att.select("attachment_url").distinct()
+        if self.config.attachments == "http":
+            from crawler_spark.operators.fetch import http_fetch_attachments
+
+            payloads = http_fetch_attachments(
+                uniq, "attachment_url", **(self.config.http_opts or {})
+            ).select(
+                F.col("attachment_url").alias("url"),
+                F.col("_content").alias("payload"),
+            )
+        else:  # 'table' — the deterministic parity oracle
+            payloads = uniq.join(
+                F.broadcast(
+                    self.attachments_df.select("url", "payload")
+                ).withColumnRenamed("url", "attachment_url"),
+                "attachment_url",
+                "left",
+            ).select(F.col("attachment_url").alias("url"), "payload")
+        payloads = payloads.persist()
+
+        parsed = parse_attachments(payloads)
+        blocks = (
+            att.join(
+                parsed.withColumnRenamed("url", "attachment_url"), "attachment_url"
+            )
+            .groupBy("page_hash")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("att_idx", "text_block"))
+                        ),
+                        lambda s: s["text_block"],
+                    ),
+                ).alias("att_text")
+            )
+            .withColumnRenamed("page_hash", "url_hash")
+        )
+        failures = (
+            payloads.join(parsed.filter(~F.col("ok")).select("url"), "url", "left_semi")
+            .select("url", F.lit("fetch_or_parse_failed").alias("reason"), "payload")
+        )
+        return blocks, failures, payloads
 
     def _filter_ops(self):
         """(build, update, anti_join) for the configured seen prefilter."""
@@ -701,7 +799,21 @@ class CrawlEngine:
             F.col("_old_hash").isNull() | (F.col("content_hash") != F.col("_old_hash"))
         ).persist()
 
-        crawled_delta = changed.select(
+        # --- attachment stage (S3/E9/S7, optional) ---------------------------
+        # Runs BEFORE crawled assembly so attachment text blocks append to
+        # the page text exactly where the reference's in-loop parser puts
+        # them. content_hash stays page-text-only: the ledger's
+        # changed-detection contract (F8) is about the PAGE's content.
+        att_failures = None
+        att_payloads = None
+        text_col = F.col("ex.text")
+        crawl_src = changed  # link expansion below stays on the bare page rows
+        if cfg.attachments != "off":
+            att_blocks, att_failures, att_payloads = self._attachment_blocks(changed)
+            crawl_src = changed.join(att_blocks, "url_hash", "left")
+            text_col = F.concat(F.col("ex.text"), F.coalesce("att_text", F.lit("")))
+
+        crawled_delta = crawl_src.select(
             F.lit(w).alias("wave"),
             "url",
             "canonical_url",
@@ -710,7 +822,7 @@ class CrawlEngine:
             "site_id",
             "depth",
             F.col("ex.title").alias("title"),
-            F.col("ex.text").alias("text"),
+            text_col.alias("text"),
             F.col("ex.quality_score").alias("quality_score"),
             "content_hash",
         )
@@ -924,6 +1036,10 @@ class CrawlEngine:
             ("site_stats", stats_next, None),
             ("crawled", crawled_delta, None),
         ]
+        if att_failures is not None:
+            stage_jobs.append(
+                ("failed_attachments", att_failures.withColumn("wave", F.lit(w)), None)
+            )
         if n_new:
             stage_jobs.append(("seen", seen_delta, None))
         if cfg.use_bloom and s_buckets:
@@ -1013,6 +1129,8 @@ class CrawlEngine:
         deduped.unpersist()
         new_rows.unpersist()
         frontier_delta.unpersist()
+        if att_payloads is not None:
+            att_payloads.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
     def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):

@@ -67,7 +67,27 @@ PAGES: dict[str, tuple[int, str, bytes]] = {
     # binary fetch (and are exactly what the html fetch drops)
     "/files/a.pdf": (200, "application/pdf", b"%PDF-1.4 fake body \x00\x01"),
     "/files/b.bin": (200, "", b"\x00\xffopaque"),  # header absent -> octet-stream
+    # a separate page tree for the wave-level attachment stage (nothing
+    # above links here, so the page-crawl parity test is unaffected)
+    "/att": (
+        200,
+        "text/html",
+        b"<html><head><title>att root</title></head><body><main>"
+        b"attachment host page with enough body text to pass the guards"
+        b'<a href="/files/doc.txt">doc</a> <a href="/files/gone.csv">gone</a>'
+        b'<a href="/att2">next</a></main></body></html>',
+    ),
+    "/att2": (
+        200,
+        "text/html",
+        b"<html><head><title>att two</title></head><body><main>"
+        b"plain second page with enough body text</main></body></html>",
+    ),
+    "/files/doc.txt": (200, "text/plain", b"attachment text body for the block"),
+    "/files/gone.csv": (404, "text/html", b"?"),
 }
+
+ATT_TXT = PAGES["/files/doc.txt"][2]
 
 SLOW_S = 3.0
 
@@ -179,6 +199,74 @@ def _state_sig(engine):
         (r["site_id"], r["canonical_url"], r["state"], r["seq"])
         for r in f.collect()
     )
+
+
+def test_wave_attachment_stage_http_vs_table_parity(spark, server, tmp_path_factory):
+    """S3/E9/S7 in the wave loop: a crawled page's text gains the
+    reference's attachment blocks, failures land in failed_attachments —
+    and the REAL http fetch reaches exactly the state the simulated
+    payload-table path reaches (the table path is the parity oracle,
+    same contract as fetch_mode http vs the pages join)."""
+    from crawler_spark import schemas
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    seeds = spark.createDataFrame(
+        [("att", "att site", f"{server}/att", "crawl", 50, 0.0)], schemas.SEEDS
+    )
+    html_pages = [
+        (f"{server}/att", bytearray(PAGES["/att"][2])),
+        (f"{server}/att2", bytearray(PAGES["/att2"][2])),
+    ]
+    pages_df = spark.createDataFrame(html_pages, "url string, html binary")
+    att_df = spark.createDataFrame(
+        [(f"{server}/files/doc.txt", bytearray(ATT_TXT))], "url string, payload binary"
+    )
+
+    http_eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("att_http")),
+        pages=None,
+        seeds=seeds,
+        config=CrawlConfig(
+            mode="fifo", batch_size=10, metrics=False,
+            fetch_mode="http", http_opts={"timeout_s": 5.0},
+            attachments="http",
+        ),
+    )
+    http_eng.run(max_waves=6)
+
+    tbl_eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("att_tbl")),
+        pages=pages_df,
+        seeds=seeds,
+        config=CrawlConfig(
+            mode="fifo", batch_size=10, metrics=False, attachments="table"
+        ),
+        attachments=att_df,
+    )
+    tbl_eng.run(max_waves=6)
+
+    def crawled(eng):
+        return {
+            r["canonical_url"]: r["text"] for r in eng.cat.read("crawled").collect()
+        }
+
+    h, t = crawled(http_eng), crawled(tbl_eng)
+    assert h == t  # byte-identical incl. the appended attachment blocks
+    att_page = h[f"{server}/att"]
+    assert "첨부 파일 시작: doc.txt" in att_page
+    assert ATT_TXT.decode() in att_page
+    assert h[f"{server}/att2"].endswith("body text")  # no blocks on att2
+
+    def failed(eng):
+        return {
+            r["url"]: r["reason"]
+            for r in eng.cat.read("failed_attachments").collect()
+        }
+
+    fh, ft = failed(http_eng), failed(tbl_eng)
+    assert set(fh) == set(ft) == {f"{server}/files/gone.csv"}
 
 
 def test_http_crawl_matches_simulated_crawl(spark, server, tmp_path_factory):
