@@ -37,6 +37,21 @@ def main() -> int:
     ap.add_argument("--open-crawl", action="store_true", help="follow cross-host links")
     ap.add_argument("--extractor", choices=["selector", "density"], default="selector",
                     help="main-content extraction strategy (E3 selector-priority or E4 link-density)")
+    ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+                    help="probabilistic seen prefilter backend (with --bloom)")
+    ap.add_argument("--fetch", choices=["simulated", "http"], default="simulated",
+                    help="page fetch stage: simulated join vs real HTTP (operators/fetch.py)")
+    ap.add_argument("--attachments", choices=["off", "http", "table"], default="off",
+                    help="attachment stage: fetch+parse linked documents into page text "
+                         "(table mode reads attachments.parquet in --corpus)")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="split-compact the frontier log every K waves (0 = off)")
+    ap.add_argument("--compact-ratio", type=float, default=0.0,
+                    help="adaptively compact when terminal rows since last compaction "
+                         "exceed this fraction of live pending (0 = off)")
+    ap.add_argument("--catalog", choices=["parquet", "iceberg"], default="parquet",
+                    help="table storage backend; with iceberg, --workdir is a "
+                         "catalog.namespace identifier (see docs/ICEBERG.md)")
     ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
     ap.add_argument("--gen-pages", type=int, default=2000)
     args = ap.parse_args()
@@ -65,11 +80,12 @@ def main() -> int:
     engine = CrawlEngine(
         spark,
         args.workdir,
-        pages=t("pages"),
+        pages=None if args.fetch == "http" else t("pages"),
         seeds=t("seeds"),
         robots=opt("robots"),
         kb_seed=opt("kb_seed"),
         ledger_seed=opt("ledger_seed"),
+        attachments=opt("attachments"),
         config=CrawlConfig(
             mode=args.mode,
             batch_size=args.batch_size,
@@ -78,6 +94,12 @@ def main() -> int:
             use_bloom=args.bloom,
             same_domain_only=not args.open_crawl,
             extractor=args.extractor,
+            seen_filter_kind=args.seen_filter,
+            fetch_mode=args.fetch,
+            attachments=args.attachments,
+            compact_every=args.compact_every,
+            compact_terminal_ratio=args.compact_ratio,
+            catalog_backend=args.catalog,
         ),
     )
     resumed_from = engine.cat.committed_wave
