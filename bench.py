@@ -914,8 +914,14 @@ def longrun() -> None:
             spark.stop()
         return rows
 
-    comp = run(every, "compacted")
-    ctrl = run(0, "control")
+    # BENCH_LONGRUN_LEGS: subset of compacted,control,ratio — a saw-tooth
+    # check at a new cadence only needs the compacted leg (the control's
+    # accretion curve is cadence-independent and already on record)
+    legs = set(
+        os.environ.get("BENCH_LONGRUN_LEGS", "compacted,control").split(",")
+    )
+    comp = run(every, "compacted")  # always: the md layout anchors on it
+    ctrl = run(0, "control") if "control" in legs else None
     rat = run(0, "ratio", terminal_ratio=ratio) if ratio else None
 
     def third_avg(rows, which):
@@ -954,7 +960,7 @@ def longrun() -> None:
         "metric": "longrun_bench",
         "n_pages": n_pages,
         "batch": batch,
-        "waves_run": {"compacted": len(comp), "control": len(ctrl)},
+        "waves_run": {"compacted": len(comp), "control": len(ctrl) if ctrl else 0},
         "compact_every": every,
         "cpus": cpus,
         "compacted": {
@@ -968,7 +974,9 @@ def longrun() -> None:
             "early_third_wave_sec": third_avg(ctrl, "early"),
             "late_third_wave_sec": third_avg(ctrl, "late"),
             "final_hot_log_mb": ctrl[-1]["hot_log_mb"],
-        },
+        }
+        if ctrl
+        else None,
         "history_growth": round(
             comp[-1]["crawled_total"] / max(1, comp[max(1, len(comp) // 10) - 1]["crawled_total"]),
             1,
@@ -996,7 +1004,8 @@ def longrun() -> None:
 
     step = max(1, len(comp) // 12)
     saw = out["compacted"]["sawtooth"]
-    with open("BENCH/LONGRUN.md", "w") as f:
+    lr_out = os.environ.get("BENCH_LONGRUN_OUT", "BENCH/LONGRUN.md")
+    with open(lr_out, "w") as f:
         f.write(
             "# Long-run compaction evidence — flat waves under growing history\n\n"
             f"{len(comp)} waves x batch {batch} over a {n_pages:,}-page corpus, "
@@ -1031,14 +1040,18 @@ def longrun() -> None:
                 if rat
                 else ""
             )
-            + "## Control (compact_every=0 — hot log accretes all history)\n\n"
-            "| wave | sec | crawled total | hot log MB | archive MB |\n"
-            "|---|---|---|---|---|\n" + curve(ctrl, max(1, len(ctrl) // 12)) + "\n"
-            f"- early-third avg wave: {out['control']['early_third_wave_sec']}s, "
-            f"late-third avg wave: {out['control']['late_third_wave_sec']}s; hot log "
-            f"ends at {out['control']['final_hot_log_mb']} MB (pending + all-time "
-            "terminal history — the read path the split removes)\n\n"
-            f"- config: local[{cpus}], priority mode, bloom seen set, "
+            + (
+                "## Control (compact_every=0 — hot log accretes all history)\n\n"
+                "| wave | sec | crawled total | hot log MB | archive MB |\n"
+                "|---|---|---|---|---|\n" + curve(ctrl, max(1, len(ctrl) // 12)) + "\n"
+                f"- early-third avg wave: {out['control']['early_third_wave_sec']}s, "
+                f"late-third avg wave: {out['control']['late_third_wave_sec']}s; hot log "
+                f"ends at {out['control']['final_hot_log_mb']} MB (pending + all-time "
+                "terminal history — the read path the split removes)\n\n"
+                if ctrl
+                else ""
+            )
+            + f"- config: local[{cpus}], priority mode, bloom seen set, "
             "distributed seq assignment\n"
         )
 
