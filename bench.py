@@ -982,6 +982,14 @@ def longrun() -> None:
             1,
         ),
     }
+    if rat:
+        out["ratio_triggered"] = {
+            "ratio": ratio,
+            "early_third_wave_sec": third_avg(rat, "early"),
+            "late_third_wave_sec": third_avg(rat, "late"),
+            "final_hot_log_mb": rat[-1]["hot_log_mb"],
+            "final_archive_mb": rat[-1]["archive_mb"],
+        }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
 
@@ -992,15 +1000,6 @@ def longrun() -> None:
             )
             for r in rows[::step]
         )
-
-    if rat:
-        out["ratio_triggered"] = {
-            "ratio": ratio,
-            "early_third_wave_sec": third_avg(rat, "early"),
-            "late_third_wave_sec": third_avg(rat, "late"),
-            "final_hot_log_mb": rat[-1]["hot_log_mb"],
-            "final_archive_mb": rat[-1]["archive_mb"],
-        }
 
     step = max(1, len(comp) // 12)
     saw = out["compacted"]["sawtooth"]
