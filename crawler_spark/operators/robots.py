@@ -1,0 +1,252 @@
+"""robots.txt acquisition + parsing → the politeness rules table.
+
+The reference engine has **no robots handling** (SURVEY §2: zero robots
+matches in reference src/); `operators/politeness.py` already consumes a
+``robots(host, disallow, crawl_delay)`` dimension table as the
+north-rule addition. This module PRODUCES that table from the live web,
+so a production crawl (``CrawlConfig(robots_mode="http")``) is
+self-contained: fetch each seed host's ``/robots.txt`` once at engine
+init, parse it for our user-agent, and hand the rules to the same
+broadcast-join filter the table-provided path uses — the provided-table
+mode stays the deterministic parity oracle, exactly like
+``fetch_mode='simulated'`` vs ``'http'``.
+
+Parsing follows RFC 9309 where the downstream filter can honor it, and
+degrades toward OVER-blocking (the polite failure mode) where it cannot:
+
+* group selection — the group(s) whose ``User-agent`` value is the
+  longest case-insensitive substring match of our product token; ``*``
+  groups apply only when no specific group matches; groups with the
+  same chosen value are merged (RFC 9309 §2.2.1);
+* ``Disallow`` — non-empty values become path prefixes for
+  ``politeness.robots_filter``'s ``startswith`` check. Wildcard rules
+  are truncated at the first ``*`` and a trailing ``$`` anchor is
+  dropped: both rewrites only WIDEN the blocked set (``/a*/b`` blocks
+  everything under ``/a``; ``/page$`` also blocks ``/page2``) — never
+  under-block;
+* ``Allow`` lines are ignored (documented limitation: the filter is
+  prefix-disallow only, so honoring Allow would require longest-match
+  precedence; ignoring it again only over-blocks);
+* ``Crawl-delay`` (de-facto standard) parses to seconds for
+  ``politeness.host_quotas``;
+* an unreachable or non-200 robots.txt yields no rules (crawl allowed,
+  the behavior of urllib.robotparser and the major engines for 4xx).
+
+Scale shape: one robots fetch per DISTINCT seed host at init (the rules
+table is a small broadcast dimension, bounded by the seed list — never
+per-URL, never per-wave), via the same bounded ``mapInPandas`` thread
+pool as the page fetcher (operators/fetch.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField
+
+from crawler_spark import schemas
+from crawler_spark.operators.fetch import (
+    DEFAULT_USER_AGENT,
+    _pooled_fetch,
+)
+
+_DIRECTIVES = {"user-agent", "disallow", "allow", "crawl-delay"}
+
+
+def _simplify_path(value: str) -> str:
+    """Reduce a (possibly wildcarded) rule path to a plain prefix that
+    blocks a superset of what the rule blocks."""
+    star = value.find("*")
+    if star != -1:
+        value = value[:star]
+    elif value.endswith("$"):
+        value = value[:-1]
+    return value
+
+
+def parse_robots_txt(
+    text: str | None, user_agent: str = DEFAULT_USER_AGENT
+) -> tuple[list[str], float | None]:
+    """Parse one robots.txt body → (disallow prefixes, crawl_delay).
+
+    Pure Python (no Spark) so the directive/group matrix is unit-testable
+    directly; the distributed path wraps this in ``robots_rules``.
+    ``None``/empty text → no rules.
+    """
+    if not text:
+        return [], None
+    # our product token, per RFC 9309 §2.2.1 (case-insensitive compare)
+    token = user_agent.split("/")[0].strip().lower()
+
+    # pass 1: group the file — a run of consecutive User-agent lines
+    # opens a group; rule lines attach to the open group; a User-agent
+    # line AFTER rule lines starts a fresh group.
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, str]] = []
+    in_header = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key not in _DIRECTIVES:
+            continue  # sitemap/host/unknown — not group-relevant
+        if key == "user-agent":
+            if not in_header:
+                if agents:
+                    groups.append((agents, rules))
+                agents, rules = [], []
+                in_header = True
+            agents.append(value.lower())
+        else:
+            in_header = False
+            if agents:  # rules before any User-agent line are invalid
+                rules.append((key, value))
+    if agents:
+        groups.append((agents, rules))
+
+    # pass 2: pick the most specific matching agent value, '*' last
+    best = ""
+    for agents, _ in groups:
+        for a in agents:
+            if a and a != "*" and a in token and len(a) > len(best):
+                best = a
+    chosen = best or "*"
+
+    disallow: set[str] = set()
+    delay: float | None = None
+    for agents, grules in groups:
+        if chosen not in agents:
+            continue
+        for key, value in grules:
+            if key == "disallow" and value:
+                p = _simplify_path(value)
+                if p:
+                    disallow.add(p)
+            elif key == "crawl-delay":
+                try:
+                    delay = float(value)
+                except ValueError:
+                    pass
+    return sorted(disallow), delay
+
+
+def robots_rules(
+    raw: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → the politeness rules table (schemas.ROBOTS).
+
+    mapInPandas over Arrow batches (no per-row Python UDF); NULL text
+    rows (fetch failed / 4xx) become empty-rule rows so every host is
+    present exactly once downstream.
+    """
+    cols = raw.select(host_col, text_col)
+
+    def gen(batches):
+        for pdf in batches:
+            parsed = [
+                parse_robots_txt(t if isinstance(t, str) else None, user_agent)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "host": pdf[host_col].astype(str),
+                    "disallow": [p[0] for p in parsed],
+                    "crawl_delay": [p[1] for p in parsed],
+                }
+            )
+
+    return cols.mapInPandas(gen, schemas.ROBOTS)
+
+
+def fetch_robots_one(
+    url: str,
+    timeout_s: float = 10.0,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 512 * 1024,
+) -> tuple[str | None]:
+    """GET one robots.txt → (text,) — None on non-200 or any failure.
+
+    RFC 9309 §2.3: parse on 200 regardless of declared content type
+    (robots.txt is served as text/plain, text/html, even octet-stream in
+    the wild); utf-8 with errors ignored, 500 KiB cap (RFC minimum for
+    parseable size).
+    """
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = getattr(resp, "status", None) or resp.getcode()
+            if status != 200:
+                return (None,)
+            return (resp.read(max_bytes).decode("utf-8", errors="ignore"),)
+    except Exception:
+        return (None,)
+
+
+def fetch_robots(
+    hosts: DataFrame,
+    url_col: str = "robots_url",
+    timeout_s: float = 10.0,
+    max_concurrency: int = 20,
+    per_host: int = 2,
+    user_agent: str = DEFAULT_USER_AGENT,
+    max_bytes: int = 512 * 1024,
+    **_ignored,
+) -> DataFrame:
+    """Fetch every row's robots.txt URL → input columns + ``robots_txt``
+    (string, NULL on failure). Same pooled mapInPandas scaffolding as the
+    page fetcher; extra http_opts keys are accepted and ignored so the
+    engine can pass its ``http_opts`` dict straight through."""
+    return _pooled_fetch(
+        hosts,
+        url_col,
+        [StructField("robots_txt", StringType())],
+        lambda u: fetch_robots_one(u, timeout_s, user_agent, max_bytes),
+        max_concurrency,
+        per_host,
+    )
+
+
+def robots_from_seeds(
+    spark: SparkSession,
+    seeds: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+    **fetch_opts,
+) -> DataFrame:
+    """The ``robots_mode='http'`` bootstrap: one fetch+parse per distinct
+    seed host → schemas.ROBOTS, keyed the way the wave derives ``host``
+    (lower(HOST), port-less) so the broadcast joins line up; the robots
+    URL itself keeps the seed's scheme and port."""
+    targets = seeds.select(
+        F.lower(F.parse_url("base_url", F.lit("HOST"))).alias("host"),
+        F.concat(
+            F.parse_url("base_url", F.lit("PROTOCOL")),
+            F.lit("://"),
+            # netloc incl. port (HOST strips it; the robots URL needs it)
+            F.regexp_extract(
+                "base_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
+            ),
+            F.lit("/robots.txt"),
+        ).alias("robots_url"),
+    ).distinct()
+    raw = fetch_robots(targets, "robots_url", user_agent=user_agent, **fetch_opts)
+    rules = robots_rules(raw, user_agent)
+    # Exactly ONE row per host key: seeds that share a port-less host but
+    # differ in port/scheme each fetched their own robots.txt — merge
+    # conservatively (union of disallows, max delay) so the downstream
+    # broadcast join on host cannot fan candidate rows out.
+    return rules.groupBy("host").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("disallow")))
+        ).alias("disallow"),
+        F.max("crawl_delay").alias("crawl_delay"),
+    )

@@ -160,6 +160,10 @@ class CrawlConfig:
     # kwargs passed through to operators.fetch.http_fetch
     # (timeout_s, max_concurrency, per_host, user_agent, max_bytes)
     http_opts: dict | None = None
+    # politeness rules source: 'table' (a provided robots DataFrame —
+    # deterministic, the parity oracle) or 'http' (fetch + parse each
+    # distinct seed host's /robots.txt at init, operators/robots.py)
+    robots_mode: str = "table"
     # attachment stage (S3/E9/S7): 'off' (default — crawl parity corpora
     # carry no attachment payloads), 'http' (fetch binaries for real via
     # http_fetch_attachments), or 'table' (simulated: look payloads up
@@ -217,9 +221,26 @@ class CrawlEngine:
             assert attachments is not None, (
                 "attachments='table' needs an attachments DataFrame (url, payload)"
             )
-        self.robots_df = robots if robots is not None else spark.createDataFrame(
-            [], schemas.ROBOTS
-        )
+        if self.config.robots_mode == "http":
+            # Production politeness bootstrap: one robots.txt fetch+parse
+            # per distinct seed host (operators/robots.py), materialized
+            # ONCE here — the per-wave robots_filter broadcast must not
+            # re-hit the network. The provided-table path below stays the
+            # deterministic parity oracle, like fetch_mode simulated/http.
+            assert robots is None, (
+                "robots_mode='http' fetches rules from the live hosts; "
+                "don't also pass a robots DataFrame"
+            )
+            from crawler_spark.operators.robots import robots_from_seeds
+
+            self.robots_df = robots_from_seeds(
+                spark, seeds, **(self.config.http_opts or {})
+            ).persist()
+            self.robots_df.count()  # materialize: fetch exactly once
+        else:
+            self.robots_df = robots if robots is not None else spark.createDataFrame(
+                [], schemas.ROBOTS
+            )
         self._kb_seed = kb_seed
         self._ledger_seed = ledger_seed
         # The simulated web, pre-partitioned ONCE on xxhash64(url) buckets

@@ -41,6 +41,9 @@ def main() -> int:
                     help="probabilistic seen prefilter backend (with --bloom)")
     ap.add_argument("--fetch", choices=["simulated", "http"], default="simulated",
                     help="page fetch stage: simulated join vs real HTTP (operators/fetch.py)")
+    ap.add_argument("--robots", choices=["table", "http"], default="table",
+                    help="politeness rules source: robots.parquet in --corpus (table) "
+                         "or live /robots.txt fetch per seed host (http)")
     ap.add_argument("--attachments", choices=["off", "http", "table"], default="off",
                     help="attachment stage: fetch+parse linked documents into page text "
                          "(table mode reads attachments.parquet in --corpus)")
@@ -82,7 +85,7 @@ def main() -> int:
         args.workdir,
         pages=None if args.fetch == "http" else t("pages"),
         seeds=t("seeds"),
-        robots=opt("robots"),
+        robots=None if args.robots == "http" else opt("robots"),
         kb_seed=opt("kb_seed"),
         ledger_seed=opt("ledger_seed"),
         attachments=opt("attachments"),
@@ -96,6 +99,7 @@ def main() -> int:
             extractor=args.extractor,
             seen_filter_kind=args.seen_filter,
             fetch_mode=args.fetch,
+            robots_mode=args.robots,
             attachments=args.attachments,
             compact_every=args.compact_every,
             compact_terminal_ratio=args.compact_ratio,
