@@ -72,9 +72,18 @@ def host_quotas(
         )
         .withColumn(
             "quota",
-            F.greatest(
-                F.floor(F.lit(float(wave_seconds)) / F.col("_delay")), F.lit(1)
-            ).cast("int"),
+            # delay <= 0 is legitimate "no throttle" (seed crawl_delay 0,
+            # no robots delay): an unbounded quota, NOT a division by
+            # zero (ANSI mode would otherwise abort the wave)
+            F.when(
+                F.col("_delay") > 0,
+                F.greatest(
+                    F.floor(F.lit(float(wave_seconds)) / F.col("_delay")),
+                    F.lit(1),
+                ),
+            )
+            .otherwise(F.lit(2_147_483_647))
+            .cast("int"),
         )
         .select("site_id", "host", "quota")
     )

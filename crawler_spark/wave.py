@@ -164,6 +164,12 @@ class CrawlConfig:
     # deterministic, the parity oracle) or 'http' (fetch + parse each
     # distinct seed host's /robots.txt at init, operators/robots.py)
     robots_mode: str = "table"
+    # seed the wave-0 frontier from each host's sitemaps (robots.txt
+    # Sitemap: directives, /sitemap.xml fallback, one sitemapindex
+    # level — operators/sitemaps.py). Live-HTTP bootstrap: discovered
+    # URLs enter as depth-1 children of their seed through the same
+    # validity/canonicalize/dedup gates as link-discovered URLs.
+    sitemap_seeding: bool = False
     # attachment stage (S3/E9/S7): 'off' (default — crawl parity corpora
     # carry no attachment payloads), 'http' (fetch binaries for real via
     # http_fetch_attachments), or 'table' (simulated: look payloads up
@@ -413,6 +419,75 @@ class CrawlEngine:
 
         return m.build_filters, m.update_filters, m.bloom_anti_join_seen
 
+    def _sitemap_rows(self, frontier0: DataFrame) -> DataFrame:
+        """Sitemap-discovered wave-0 frontier rows (sitemap_seeding).
+
+        Candidates flow through the SAME admission pipeline as
+        link-discovered URLs (validity gate, canonical split, in-wave
+        dedup) and are anti-joined against the seed rows; seq continues
+        per site after the seed's seq 1, ordered by sitemap position.
+        The per-site Window is bounded by sitemap_candidates'
+        max_per_site cap — never frontier-sized."""
+        from pyspark.sql import Window
+
+        from crawler_spark.operators.sitemaps import sitemap_candidates
+
+        cfg = self.config
+        cand = sitemap_candidates(
+            self.spark, self.seeds_df, **(cfg.http_opts or {})
+        ).withColumn("parent_seq", F.lit(1).cast("long"))
+        base = self.seeds_df.select(
+            "site_id",
+            (
+                netloc_of(F.col("base_url"))
+                if cfg.same_domain_only
+                else F.lit("*")
+            ).alias("base_netloc"),
+        )
+        cand = cand.join(F.broadcast(base), "site_id")
+        if cfg.same_domain_only:
+            validity = is_valid_url(F.col("url"), F.col("base_netloc"))
+        else:
+            validity = (
+                F.parse_url(F.col("url"), F.lit("PROTOCOL")).isin("http", "https")
+                & ~F.col("url").contains("#")
+                & ~F.col("url").contains("javascript:void(0)")
+            )
+        valid = (
+            with_canonical_split(cand.filter(validity).drop("base_netloc"), "url")
+            .withColumn("url_hash", F.xxhash64("canonical_url"))
+            .withColumn(
+                "host", F.lower(F.parse_url("canonical_url", F.lit("HOST")))
+            )
+        )
+        fresh = dedup_in_wave(valid).join(
+            frontier0.select("url_hash", "canonical_url"),
+            ["url_hash", "canonical_url"],
+            "left_anti",
+        )
+        wsite = Window.partitionBy("site_id").orderBy("link_idx")
+        return (
+            fresh.withColumn(
+                "seq", (F.row_number().over(wsite) + 1).cast("long")
+            )
+            .select(
+                "url",
+                "canonical_url",
+                "url_hash",
+                "host",
+                "site_id",
+                F.lit(1).alias("depth"),
+                F.lit(1.0).alias("score"),
+                F.lit(0).alias("discovered_wave"),
+                "parent_seq",
+                "link_idx",
+                F.lit("pending").alias("state"),
+                "seq",
+                F.lit(None).cast("int").alias("processed_wave"),
+            )
+            .select(*FRONTIER_COLS)
+        )
+
     # -- bootstrap -------------------------------------------------------
 
     def bootstrap(self) -> None:
@@ -436,6 +511,14 @@ class CrawlEngine:
             "seq", F.lit(1).cast("long")  # one seed per site → seq 1
         ).withColumn("processed_wave", F.lit(None).cast("int")).select(*FRONTIER_COLS)
 
+        if self.config.sitemap_seeding:
+            # sitemap-discovered URLs join the seeds in the wave-0
+            # frontier (and therefore seen0 below); stats0 then counts
+            # real rows instead of assuming one row per site
+            frontier0 = frontier0.unionByName(
+                self._sitemap_rows(frontier0)
+            ).persist()
+
         seen0 = frontier0.select(
             "site_id", "url_hash", "canonical_url", F.lit(0).alias("discovered_wave")
         )
@@ -445,12 +528,23 @@ class CrawlEngine:
             if self._ledger_seed is not None
             else self.spark.createDataFrame([], schemas.LEDGER_LOG)
         )
-        stats0 = seeds.select(
-            "site_id",
-            F.lit(0).cast("long").alias("scanned"),
-            F.lit(1).cast("long").alias("max_seq"),  # one seed per site → seq 1
-            F.lit(1).cast("long").alias("n_pending"),
-        )
+        if self.config.sitemap_seeding:
+            counts = frontier0.groupBy("site_id").agg(
+                F.max("seq").alias("_max"), F.count("*").alias("_n")
+            )
+            stats0 = seeds.select("site_id").join(counts, "site_id", "left").select(
+                "site_id",
+                F.lit(0).cast("long").alias("scanned"),
+                F.coalesce("_max", F.lit(1)).cast("long").alias("max_seq"),
+                F.coalesce("_n", F.lit(1)).cast("long").alias("n_pending"),
+            )
+        else:
+            stats0 = seeds.select(
+                "site_id",
+                F.lit(0).cast("long").alias("scanned"),
+                F.lit(1).cast("long").alias("max_seq"),  # one seed per site → seq 1
+                F.lit(1).cast("long").alias("n_pending"),
+            )
 
         self.cat.stage("frontier", frontier0, 0)
         self.cat.stage("seen", seen0, 0)

@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--robots", choices=["table", "http"], default="table",
                     help="politeness rules source: robots.parquet in --corpus (table) "
                          "or live /robots.txt fetch per seed host (http)")
+    ap.add_argument("--sitemaps", action="store_true",
+                    help="seed the wave-0 frontier from each host's sitemaps "
+                         "(robots.txt Sitemap: directives, /sitemap.xml fallback)")
     ap.add_argument("--attachments", choices=["off", "http", "table"], default="off",
                     help="attachment stage: fetch+parse linked documents into page text "
                          "(table mode reads attachments.parquet in --corpus)")
@@ -100,6 +103,7 @@ def main() -> int:
             seen_filter_kind=args.seen_filter,
             fetch_mode=args.fetch,
             robots_mode=args.robots,
+            sitemap_seeding=args.sitemaps,
             attachments=args.attachments,
             compact_every=args.compact_every,
             compact_terminal_ratio=args.compact_ratio,
