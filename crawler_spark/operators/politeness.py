@@ -29,22 +29,46 @@ from pyspark.sql import functions as F
 
 
 def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
-    """Annotate candidates with ``robots_blocked`` (path prefix match)."""
-    r = F.broadcast(robots.select("host", "disallow"))
+    """Annotate candidates with ``robots_blocked`` — RFC 9309 §2.2.2
+    longest-match precedence between Allow and Disallow prefixes.
+
+    A URL is blocked iff the longest matching disallow prefix is
+    STRICTLY longer than the longest matching allow prefix (ties go to
+    allow, per the RFC's "SHOULD use the allow"). With no allow rules
+    this reduces to the plain any-prefix disallow check. Entirely
+    JVM-side higher-order functions (filter/aggregate over the rule
+    arrays inside the broadcast join) — no Python in the hot path.
+    Rules tables without an ``allow`` column (older corpora) are read
+    as allow-nothing."""
+    cols = ["host", "disallow", "allow"] if "allow" in robots.columns else [
+        "host", "disallow"
+    ]
+    r = F.broadcast(robots.select(*cols))
     path = F.coalesce(F.parse_url(F.col("canonical_url"), F.lit("PATH")), F.lit("/"))
+
+    def longest_match(rules) -> F.Column:
+        # length of the longest rule prefix matching path, -1 if none
+        return F.aggregate(
+            F.filter(rules, lambda p: path.startswith(p)),
+            F.lit(-1),
+            lambda acc, p: F.greatest(acc, F.length(p)),
+        )
+
+    out = candidates.join(r, "host", "left")
+    allow_col = (
+        F.coalesce(F.col("allow"), F.array().cast("array<string>"))
+        if "allow" in cols
+        else F.array().cast("array<string>")
+    )
     return (
-        candidates.join(r, "host", "left")
-        .withColumn(
+        out.withColumn(
             "robots_blocked",
             F.coalesce(
-                F.exists(
-                    F.col("disallow"),
-                    lambda p: path.startswith(p),
-                ),
+                longest_match(F.col("disallow")) > longest_match(allow_col),
                 F.lit(False),
             ),
         )
-        .drop("disallow")
+        .drop(*[c for c in ("disallow", "allow") if c in out.columns])
     )
 
 

@@ -19,14 +19,17 @@ degrades toward OVER-blocking (the polite failure mode) where it cannot:
   groups apply only when no specific group matches; groups with the
   same chosen value are merged (RFC 9309 §2.2.1);
 * ``Disallow`` — non-empty values become path prefixes for
-  ``politeness.robots_filter``'s ``startswith`` check. Wildcard rules
-  are truncated at the first ``*`` and a trailing ``$`` anchor is
-  dropped: both rewrites only WIDEN the blocked set (``/a*/b`` blocks
-  everything under ``/a``; ``/page$`` also blocks ``/page2``) — never
-  under-block;
-* ``Allow`` lines are ignored (documented limitation: the filter is
-  prefix-disallow only, so honoring Allow would require longest-match
-  precedence; ignoring it again only over-blocks);
+  ``politeness.robots_filter``. Wildcard rules are truncated at the
+  first ``*`` and a trailing ``$`` anchor is dropped: both rewrites
+  only WIDEN the blocked set (``/a*/b`` blocks everything under
+  ``/a``; ``/page$`` also blocks ``/page2``) — never under-block;
+* ``Allow`` — plain-prefix allow rules are honored with RFC 9309
+  §2.2.2 longest-match precedence (``politeness.robots_filter``
+  compares the longest matching allow vs disallow prefix, ties to
+  allow). Wildcard/anchored allows are DROPPED rather than simplified,
+  and a file mixing wildcard disallows with allows degrades to
+  disallow-only — widening an allow (unlike a disallow) would
+  under-block, so every degradation stays on the over-blocking side;
 * ``Crawl-delay`` (de-facto standard) parses to seconds for
   ``politeness.host_quotas``;
 * an unreachable or non-200 robots.txt yields no rules (crawl allowed,
@@ -67,15 +70,17 @@ def _simplify_path(value: str) -> str:
 
 def parse_robots_txt(
     text: str | None, user_agent: str = DEFAULT_USER_AGENT
-) -> tuple[list[str], float | None]:
-    """Parse one robots.txt body → (disallow prefixes, crawl_delay).
+) -> tuple[list[str], list[str], float | None]:
+    """Parse one robots.txt body → (disallow, allow, crawl_delay).
 
     Pure Python (no Spark) so the directive/group matrix is unit-testable
     directly; the distributed path wraps this in ``robots_rules``.
-    ``None``/empty text → no rules.
+    ``None``/empty text → no rules. Allow and Disallow prefixes are
+    resolved downstream by ``politeness.robots_filter``'s RFC 9309
+    longest-match precedence.
     """
     if not text:
-        return [], None
+        return [], [], None
     # our product token, per RFC 9309 §2.2.1 (case-insensitive compare)
     token = user_agent.split("/")[0].strip().lower()
 
@@ -118,21 +123,39 @@ def parse_robots_txt(
     chosen = best or "*"
 
     disallow: set[str] = set()
+    allow: set[str] = set()
     delay: float | None = None
+    wildcard_disallow = False
     for agents, grules in groups:
         if chosen not in agents:
             continue
         for key, value in grules:
             if key == "disallow" and value:
+                # widening a disallow only over-blocks — safe
                 p = _simplify_path(value)
+                if p != value:
+                    wildcard_disallow = True
                 if p:
                     disallow.add(p)
+            elif key == "allow" and value:
+                # widening an ALLOW would under-block (it can override a
+                # disallow), so wildcard/anchored allow rules are dropped
+                # instead of simplified — ignoring an allow only
+                # over-blocks, the polite failure mode
+                if "*" not in value and not value.endswith("$"):
+                    allow.add(value)
             elif key == "crawl-delay":
                 try:
                     delay = float(value)
                 except ValueError:
                     pass
-    return sorted(disallow), delay
+    if wildcard_disallow:
+        # A simplified (shortened) disallow can LOSE a longest-match
+        # comparison its original would have won, letting an allow
+        # under-block; files mixing wildcard disallows with allows
+        # degrade to disallow-only over-blocking instead.
+        allow = set()
+    return sorted(disallow), sorted(allow), delay
 
 
 def robots_rules(
@@ -159,7 +182,8 @@ def robots_rules(
                 {
                     "host": pdf[host_col].astype(str),
                     "disallow": [p[0] for p in parsed],
-                    "crawl_delay": [p[1] for p in parsed],
+                    "allow": [p[1] for p in parsed],
+                    "crawl_delay": [p[2] for p in parsed],
                 }
             )
 
@@ -242,11 +266,26 @@ def robots_from_seeds(
     rules = robots_rules(raw, user_agent)
     # Exactly ONE row per host key: seeds that share a port-less host but
     # differ in port/scheme each fetched their own robots.txt — merge
-    # conservatively (union of disallows, max delay) so the downstream
-    # broadcast join on host cannot fan candidate rows out.
-    return rules.groupBy("host").agg(
+    # conservatively so the downstream broadcast join on host cannot fan
+    # candidate rows out: UNION of disallows and max delay (over-block /
+    # over-wait), but INTERSECTION of allows — a URL stays allowed only
+    # if every variant allowed it (a union would under-block).
+    merged = rules.groupBy("host").agg(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("disallow")))
         ).alias("disallow"),
+        F.collect_list("allow").alias("_allows"),
         F.max("crawl_delay").alias("crawl_delay"),
+    )
+    return merged.select(
+        "host",
+        "disallow",
+        F.array_sort(
+            F.aggregate(
+                F.slice("_allows", 2, F.greatest(F.size("_allows") - 1, F.lit(0))),
+                F.element_at("_allows", 1),
+                lambda acc, x: F.array_intersect(acc, x),
+            )
+        ).alias("allow"),
+        "crawl_delay",
     )

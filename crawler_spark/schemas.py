@@ -49,6 +49,7 @@ ROBOTS = StructType(
     [
         StructField("host", StringType()),
         StructField("disallow", ArrayType(StringType())),
+        StructField("allow", ArrayType(StringType())),
         StructField("crawl_delay", DoubleType()),
     ]
 )

@@ -246,6 +246,10 @@ def _write_small_tables(out_dir: str, hosts: list[str]) -> list[str]:
                 [["/files/", "/login"] if i % 2 == 0 else [] for i in range(len(hosts))],
                 pa.list_(pa.string()),
             ),
+            # no allow rules in the synthetic corpora (keeps the pure
+            # prefix-disallow parity oracle); RFC longest-match allow
+            # precedence is pinned by tests/test_robots.py instead
+            "allow": pa.array([[] for _ in hosts], pa.list_(pa.string())),
             "crawl_delay": pa.array(
                 [2.0 if i == 0 else 1.0 for i in range(len(hosts))], pa.float64()
             ),

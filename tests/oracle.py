@@ -156,12 +156,19 @@ def oracle_crawl_priority(
         )
 
     def robots_blocked(url: str) -> bool:
+        # RFC 9309 longest-match precedence (ties to allow), matching
+        # politeness.robots_filter; corpora without allow rules reduce
+        # this to the plain any-prefix disallow check
         host = urlparse(url).netloc.lower()
         r = robots.get(host)
         if not r:
             return False
         path = urlparse(url).path or "/"
-        return any(path.startswith(p) for p in r["disallow"])
+        dis = max((len(p) for p in r["disallow"] if path.startswith(p)), default=-1)
+        alw = max(
+            (len(p) for p in r.get("allow") or [] if path.startswith(p)), default=-1
+        )
+        return dis > alw
 
     def quota(host: str) -> int:
         r = robots.get(host)

@@ -38,9 +38,9 @@ User-agent: crawler-spark
 Disallow: /mine
 Crawl-delay: 2.5
 """
-    assert parse_robots_txt(txt, UA) == (["/mine"], 2.5)
+    assert parse_robots_txt(txt, UA) == (["/mine"], [], 2.5)
     # an unrelated UA falls back to the * group
-    assert parse_robots_txt(txt, "otherbot/9") == (["/all"], None)
+    assert parse_robots_txt(txt, "otherbot/9") == (["/all"], [], None)
 
 
 def test_parse_longest_match_wins_and_merges_equal_groups():
@@ -56,7 +56,7 @@ Disallow: /long-b
 """
     # both 'crawler' and 'crawler-spark' are substrings of the product
     # token; the longest wins, and its two (case-insensitive) groups merge
-    assert parse_robots_txt(txt, UA) == (["/long-a", "/long-b"], None)
+    assert parse_robots_txt(txt, UA) == (["/long-a", "/long-b"], [], None)
 
 
 def test_parse_shared_header_and_rule_separated_groups():
@@ -69,7 +69,7 @@ Disallow: /y
 User-agent: b
 Disallow: /z
 """
-    assert parse_robots_txt(txt, UA) == (["/x", "/y"], None)
+    assert parse_robots_txt(txt, UA) == (["/x", "/y"], [], None)
 
 
 def test_parse_wildcard_and_anchor_over_block():
@@ -83,8 +83,76 @@ Allow: /a/ok
 """
     # '*' truncation widens /a*/deep -> /a; '$' drops; a leading-* rule
     # reduces to nothing (cannot be a prefix -> dropped rather than
-    # blocking everything); empty Disallow and Allow lines are ignored
-    assert parse_robots_txt(txt, UA) == (["/a", "/page"], None)
+    # blocking everything); empty Disallow lines are ignored; and because
+    # disallows were wildcard-simplified, the allow is dropped too (a
+    # shortened disallow could lose a longest-match it should win)
+    assert parse_robots_txt(txt, UA) == (["/a", "/page"], [], None)
+
+
+def test_parse_allow_rules():
+    txt = """
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Allow: /wild*card
+Allow: /anchored$
+"""
+    # plain allows kept; wildcard/anchored allows dropped (keeping them
+    # widened would under-block)
+    assert parse_robots_txt(txt, UA) == (["/private"], ["/private/ok"], None)
+
+
+def test_robots_filter_longest_match_precedence(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark import schemas
+    from crawler_spark.operators.politeness import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.example", ["/private", "/tmp"], ["/private/ok", "/tmp"], None)],
+        schemas.ROBOTS,
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://h.example/private/x", "h.example"),   # blocked
+            ("https://h.example/private/ok/y", "h.example"),  # allow longer
+            ("https://h.example/tmp/z", "h.example"),       # tie -> allow
+            ("https://h.example/open", "h.example"),        # no rule
+            ("https://other.example/private/x", "other.example"),  # no host row
+        ],
+        "canonical_url string, host string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_blocked"]
+        for r in robots_filter(cand, rules).collect()
+    }
+    assert got == {
+        "https://h.example/private/x": True,
+        "https://h.example/private/ok/y": False,
+        "https://h.example/tmp/z": False,
+        "https://h.example/open": False,
+        "https://other.example/private/x": False,
+    }
+
+
+def test_robots_filter_tolerates_legacy_three_column_table(spark):
+    from crawler_spark.operators.politeness import robots_filter
+
+    legacy = spark.createDataFrame(
+        [("h.example", ["/private"], 1.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    cand = spark.createDataFrame(
+        [("https://h.example/private/x", "h.example"),
+         ("https://h.example/open", "h.example")],
+        "canonical_url string, host string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_blocked"]
+        for r in robots_filter(cand, legacy).collect()
+    }
+    assert got["https://h.example/private/x"] is True
+    assert got["https://h.example/open"] is False
 
 
 def test_parse_comments_malformed_and_missing():
@@ -96,11 +164,11 @@ no-colon-line
 Unknown-directive: zap
 Crawl-delay: not-a-number
 """
-    assert parse_robots_txt(txt, UA) == (["/blocked"], None)
-    assert parse_robots_txt(None, UA) == ([], None)
-    assert parse_robots_txt("", UA) == ([], None)
+    assert parse_robots_txt(txt, UA) == (["/blocked"], [], None)
+    assert parse_robots_txt(None, UA) == ([], [], None)
+    assert parse_robots_txt("", UA) == ([], [], None)
     # rules before any User-agent line are invalid and dropped
-    assert parse_robots_txt("Disallow: /early", UA) == ([], None)
+    assert parse_robots_txt("Disallow: /early", UA) == ([], [], None)
 
 
 # ------------------------------------------------------------- operator
@@ -247,7 +315,7 @@ def test_http_robots_crawl_matches_table_oracle(spark, server, tmp_path_factory)
 
     http_eng = run(tmp_path_factory.mktemp("robots_http"), "http")
     table_rules = spark.createDataFrame(
-        [("127.0.0.1", ["/p3"], 1.0)], schemas.ROBOTS
+        [("127.0.0.1", ["/p3"], [], 1.0)], schemas.ROBOTS
     )
     tbl_eng = run(tmp_path_factory.mktemp("robots_tbl"), "table", table_rules)
 
