@@ -1,0 +1,237 @@
+"""WARC source: Common-Crawl-style archives → the engine's pages table.
+
+The north-rule input is "an Iceberg table of Common-Crawl-style web
+pages (url, warc_ts, html, text, lang)"; Common Crawl itself ships WARC
+files (ISO 28500), so a production user needs exactly one ingestion
+step: WARC → that table. ``read_warc`` is that step, Spark-shaped:
+
+* **File-per-task streaming.** The input is a directory/glob of
+  ``.warc`` / ``.warc.gz`` files; Spark's ``binaryFile`` reader is used
+  ONLY for its distributed listing + partition planning (the ``path``
+  column — column pruning keeps file contents unread), and each task
+  then STREAMS its file through a fixed-size window: records are
+  parsed one ``Content-Length`` block at a time and emitted in bounded
+  Arrow batches, so a 1 GB archive never materializes in memory.
+  Multi-member gzip (Common Crawl writes one gzip member per record)
+  is handled transparently by Python's gzip layer.
+* **Keep-rules at the source.** Only ``WARC-Type: response`` records
+  whose embedded HTTP response is ``200`` with a ``text/html``
+  content type survive — the same keep-rules as the live fetcher
+  (operators/fetch.py), so a WARC-ingested corpus and a crawled corpus
+  are interchangeable. Oversized payloads (``max_bytes``) are skipped
+  by streaming past them, malformed records end the damaged file
+  gracefully (best-effort, like every archive reader).
+* **Output shape = schemas.PAGES.** ``text``/``lang`` are NULL — they
+  are downstream extraction products (html_extract), not archive
+  fields.
+
+``write_warc`` is the inverse (records → spec-compliant .warc/.warc.gz)
+— used by the round-trip tests and for exporting fixtures; it writes
+one gzip member per record like Common Crawl.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_spark import schemas
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Header block (no trailing blank line) → {lower-name: value}."""
+    out: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" not in line:
+            continue
+        k, _, v = line.partition(b":")
+        out[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+    return out
+
+
+def _read_until(stream, sep: bytes, cap: int = 64 * 1024) -> bytes | None:
+    """Read from ``stream`` until ``sep`` (exclusive; consumed) or None on
+    EOF / cap overrun. Byte-at-a-time on a BUFFERED stream — header
+    blocks are tiny; bodies are read in one sized read elsewhere."""
+    buf = bytearray()
+    tail = len(sep)
+    while True:
+        b = stream.read(1)
+        if not b:
+            return None
+        buf += b
+        if len(buf) >= tail and buf[-tail:] == sep:
+            return bytes(buf[:-tail])
+        if len(buf) > cap:
+            return None
+
+
+def _http_html_payload(body: bytes) -> bytes | None:
+    """HTTP response bytes → payload iff status 200 ∧ text/html (the
+    fetcher's keep-rules, operators/fetch.py); else None."""
+    head, sep, payload = body.partition(_SEP)
+    if not sep:
+        return None
+    lines = head.split(_CRLF)
+    status = lines[0].split()
+    if len(status) < 2 or not status[0].startswith(b"HTTP/") or status[1] != b"200":
+        return None
+    headers = _parse_headers(_CRLF.join(lines[1:]))
+    if "text/html" not in headers.get("content-type", ""):
+        return None
+    return payload
+
+
+def iter_warc_records(stream, max_bytes: int = 10 * 2**20):
+    """Yield (url, warc_ts, html) from one WARC byte stream.
+
+    Pure Python + stdlib so it is unit-testable without Spark; the
+    distributed path maps it over files. Stops (without raising) at EOF
+    or the first structurally damaged record."""
+    stream = io.BufferedReader(stream, 1 << 16)
+    while True:
+        head = _read_until(stream, _SEP)
+        if head is None:
+            return
+        head = head.lstrip(b"\r\n")  # inter-record blank lines
+        if not head.startswith(b"WARC/"):
+            return
+        headers = _parse_headers(head.split(_CRLF, 1)[1] if _CRLF in head else b"")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        keep = (
+            headers.get("warc-type") == "response"
+            and "warc-target-uri" in headers
+            and length <= max_bytes
+        )
+        if keep:
+            body = stream.read(length)
+            if len(body) < length:
+                return
+        else:
+            # stream past the body without materializing it
+            left = length
+            while left > 0:
+                chunk = stream.read(min(left, 1 << 20))
+                if not chunk:
+                    return
+                left -= len(chunk)
+            body = None
+        # record terminator
+        if stream.read(len(_SEP)) != _SEP:
+            return
+        if body is None:
+            continue
+        payload = _http_html_payload(body)
+        if payload is None:
+            continue
+        raw_ts = headers.get("warc-date", "").replace("Z", "+00:00")
+        try:
+            ts = datetime.fromisoformat(raw_ts).astimezone(timezone.utc)
+        except ValueError:
+            continue
+        url = headers["warc-target-uri"]
+        # Common Crawl wraps some target URIs in <>
+        if url.startswith("<") and url.endswith(">"):
+            url = url[1:-1]
+        yield url, ts, payload
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_bytes: int = 10 * 2**20,
+    batch_rows: int = 256,
+    files_per_partition: int = 1,
+) -> DataFrame:
+    """Directory/glob of ``.warc`` / ``.warc.gz`` files → schemas.PAGES.
+
+    Listing + partition planning ride Spark's binaryFile source (paths
+    only — contents are never loaded into rows); each task streams its
+    files through ``iter_warc_records`` and yields ``batch_rows``-sized
+    Arrow batches. ``text``/``lang`` are NULL (extraction products)."""
+    paths = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path")
+    )
+    n_files = paths.count()
+    n_parts = max(1, (n_files + files_per_partition - 1) // files_per_partition)
+    paths = paths.repartition(n_parts)
+
+    def gen(batches):
+        from pyarrow.fs import FileSystem
+
+        def flush(rows):
+            return pd.DataFrame(
+                {
+                    "url": [r[0] for r in rows],
+                    "warc_ts": [r[1] for r in rows],
+                    "html": [r[2] for r in rows],
+                    "text": pd.Series([None] * len(rows), dtype=object),
+                    "lang": pd.Series([None] * len(rows), dtype=object),
+                }
+            )
+
+        rows: list[tuple] = []
+        for pdf in batches:
+            for p in pdf["path"]:
+                fs, rel = FileSystem.from_uri(str(p))
+                # compression=None: pyarrow would otherwise auto-detect
+                # by extension and decompress as ONE stream; Common
+                # Crawl gzips one member PER RECORD, which Python's
+                # gzip layer is documented to concatenate transparently
+                raw = fs.open_input_stream(rel, compression=None)
+                stream = gzip.GzipFile(fileobj=raw) if rel.endswith(".gz") else raw
+                try:
+                    for rec in iter_warc_records(stream, max_bytes):
+                        rows.append(rec)
+                        if len(rows) >= batch_rows:
+                            yield flush(rows)
+                            rows = []
+                finally:
+                    stream.close()
+        if rows:
+            yield flush(rows)
+
+    return paths.mapInPandas(gen, schemas.PAGES)
+
+
+def write_warc(path: str, records, gzipped: bool | None = None) -> None:
+    """Write (url, warc_ts, html_bytes) records as a spec-compliant WARC
+    file — one gzip member per record when gzipped (Common Crawl's
+    layout), inferred from the filename by default. Local paths only
+    (a test/export utility, not a distributed sink)."""
+    if gzipped is None:
+        gzipped = path.endswith(".gz")
+    with open(path, "wb") as f:
+        for url, ts, html in records:
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                + b"Content-Length: " + str(len(html)).encode() + _SEP
+                + html
+            )
+            ts_s = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            rec = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                + f"WARC-Target-URI: {url}\r\n".encode()
+                + f"WARC-Date: {ts_s}\r\n".encode()
+                + f"Content-Length: {len(http)}\r\n".encode()
+                + b"Content-Type: application/http; msgtype=response"
+                + _SEP
+                + http
+                + _SEP
+            )
+            f.write(gzip.compress(rec) if gzipped else rec)

@@ -1,0 +1,110 @@
+"""WARC source (sources/warc.py): record matrix, damage tolerance, the
+distributed reader's pages-table contract, and a corpus round-trip."""
+
+from __future__ import annotations
+
+import gzip
+import io
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from crawler_spark.sources.warc import iter_warc_records, read_warc, write_warc
+
+TS = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc)
+SEP = b"\r\n\r\n"
+
+
+def _record(wtype: str, url: str | None, body: bytes, ts: str = "2024-03-01T12:00:00Z") -> bytes:
+    head = f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Date: {ts}\r\n".encode()
+    if url is not None:
+        head += f"WARC-Target-URI: {url}\r\n".encode()
+    head += f"Content-Length: {len(body)}\r\n".encode()
+    head += b"Content-Type: application/http; msgtype=response"
+    return head + SEP + body + SEP
+
+
+def _http(status: int, ctype: str, payload: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}".encode() + SEP + payload
+    )
+
+
+def test_iter_warc_record_matrix():
+    """Only 200 ∧ text/html responses survive — the fetcher's keep-rules."""
+    stream = io.BytesIO(
+        _record("warcinfo", None, b"software: test")
+        + _record("request", "https://h/x", b"GET /x HTTP/1.1" + SEP)
+        + _record("response", "https://h/ok", _http(200, "text/html; charset=utf-8", b"<html>ok</html>"))
+        + _record("response", "https://h/404", _http(404, "text/html", b"gone"))
+        + _record("response", "https://h/plain", _http(200, "text/plain", b"nope"))
+        + _record("revisit", "https://h/re", b"")
+        + _record("response", "<https://h/wrapped>", _http(200, "text/html", b"<html>w</html>"))
+    )
+    got = [(u, bytes(h)) for u, _, h in iter_warc_records(stream)]
+    assert got == [
+        ("https://h/ok", b"<html>ok</html>"),
+        ("https://h/wrapped", b"<html>w</html>"),  # CC's <>-wrapped URI
+    ]
+
+
+def test_iter_warc_damage_and_caps():
+    ok = _record("response", "https://h/a", _http(200, "text/html", b"<html>a</html>"))
+    # truncated second record: the good prefix is still yielded
+    stream = io.BytesIO(ok + b"WARC/1.0\r\nWARC-Type: resp")
+    assert [u for u, _, _ in iter_warc_records(stream)] == ["https://h/a"]
+    # not a WARC at all / empty
+    assert list(iter_warc_records(io.BytesIO(b"PK\x03\x04zipfile"))) == []
+    assert list(iter_warc_records(io.BytesIO(b""))) == []
+    # oversized record is streamed past, later records still parse
+    big = _record("response", "https://h/big", _http(200, "text/html", b"x" * 4096))
+    stream = io.BytesIO(big + ok)
+    got = [u for u, _, _ in iter_warc_records(stream, max_bytes=1024)]
+    assert got == ["https://h/a"]
+    # bad WARC-Date is skipped, not fatal
+    bad_ts = _record("response", "https://h/badts",
+                     _http(200, "text/html", b"<html>t</html>"), ts="not-a-date")
+    stream = io.BytesIO(bad_ts + ok)
+    assert [u for u, _, _ in iter_warc_records(stream)] == ["https://h/a"]
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    """Reader contract: .warc + multi-member .warc.gz in one directory →
+    schemas.PAGES rows with NULL text/lang."""
+    recs1 = [("https://a.example/1", TS, b"<html>one</html>")]
+    recs2 = [
+        ("https://b.example/2", TS, b"<html>two</html>"),
+        ("https://b.example/3", TS, b"<html>three \xf0\x28</html>"),  # raw bytes
+    ]
+    write_warc(str(tmp_path / "a.warc"), recs1)
+    write_warc(str(tmp_path / "b.warc.gz"), recs2)  # one gzip member/record
+    (tmp_path / "ignored.txt").write_text("not a warc")
+
+    df = read_warc(spark, str(tmp_path))
+    assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/2", "https://b.example/3"}
+    assert bytes(rows["https://b.example/3"]["html"]) == b"<html>three \xf0\x28</html>"
+    assert all(r["text"] is None and r["lang"] is None for r in rows.values())
+    assert rows["https://a.example/1"]["warc_ts"] is not None
+
+
+def test_warc_corpus_roundtrip(spark, corpus_dir):
+    """Synthetic corpus pages → WARC → read_warc reproduces (url, html)
+    exactly, so a WARC-ingested corpus is interchangeable with a
+    generated one as engine input."""
+    import tempfile
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").limit(40)
+    recs = [
+        (r["url"], r["warc_ts"].replace(tzinfo=timezone.utc, microsecond=0), bytes(r["html"]))
+        for r in pages.collect()
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        write_warc(f"{d}/c.warc.gz", recs)
+        back = read_warc(spark, d)
+        orig = {(r["url"], bytes(r["html"])) for r in pages.collect()}
+        got = {(r["url"], bytes(r["html"])) for r in back.collect()}
+        assert got == orig
+        assert back.count() == 40
