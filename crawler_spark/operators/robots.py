@@ -240,17 +240,17 @@ def fetch_robots(
     )
 
 
-def robots_from_seeds(
-    spark: SparkSession,
-    seeds: DataFrame,
-    user_agent: str = DEFAULT_USER_AGENT,
-    **fetch_opts,
+def fetch_robots_raw(
+    seeds: DataFrame, user_agent: str = DEFAULT_USER_AGENT, **fetch_opts
 ) -> DataFrame:
-    """The ``robots_mode='http'`` bootstrap: one fetch+parse per distinct
-    seed host → schemas.ROBOTS, keyed the way the wave derives ``host``
-    (lower(HOST), port-less) so the broadcast joins line up; the robots
-    URL itself keeps the seed's scheme and port."""
+    """(site_id, host, _origin, robots_txt): ONE robots.txt fetch per
+    distinct seed origin — the shared input for both rule parsing
+    (``robots_from_seeds``) and sitemap discovery
+    (``sitemaps.sitemap_candidates``), so enabling both costs one GET
+    per host, not two. ``host`` is the wave's join key (lower(HOST),
+    port-less); ``_origin`` keeps scheme and port for further fetches."""
     targets = seeds.select(
+        "site_id",
         F.lower(F.parse_url("base_url", F.lit("HOST"))).alias("host"),
         F.concat(
             F.parse_url("base_url", F.lit("PROTOCOL")),
@@ -259,10 +259,31 @@ def robots_from_seeds(
             F.regexp_extract(
                 "base_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
             ),
-            F.lit("/robots.txt"),
-        ).alias("robots_url"),
+        ).alias("_origin"),
     ).distinct()
-    raw = fetch_robots(targets, "robots_url", user_agent=user_agent, **fetch_opts)
+    return fetch_robots(
+        targets.withColumn(
+            "robots_url", F.concat("_origin", F.lit("/robots.txt"))
+        ),
+        "robots_url",
+        user_agent=user_agent,
+        **fetch_opts,
+    )
+
+
+def robots_from_seeds(
+    spark: SparkSession,
+    seeds: DataFrame,
+    user_agent: str = DEFAULT_USER_AGENT,
+    raw: DataFrame | None = None,
+    **fetch_opts,
+) -> DataFrame:
+    """The ``robots_mode='http'`` bootstrap: one fetch+parse per distinct
+    seed host → schemas.ROBOTS, keyed the way the wave derives ``host``
+    (lower(HOST), port-less) so the broadcast joins line up. Pass ``raw``
+    (a ``fetch_robots_raw`` result) to reuse an existing fetch."""
+    if raw is None:
+        raw = fetch_robots_raw(seeds, user_agent=user_agent, **fetch_opts)
     rules = robots_rules(raw, user_agent)
     # Exactly ONE row per host key: seeds that share a port-less host but
     # differ in port/scheme each fetched their own robots.txt — merge

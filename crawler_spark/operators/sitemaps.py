@@ -43,7 +43,6 @@ from pyspark.sql.types import (
 )
 
 from crawler_spark.operators.fetch import fetch_binary_one
-from crawler_spark.operators.robots import fetch_robots
 
 
 def parse_robots_sitemaps(text: str | None) -> list[str]:
@@ -146,28 +145,19 @@ def sitemap_candidates(
     seeds: DataFrame,
     max_per_site: int = 50_000,
     max_children: int = 50,
+    robots_raw: DataFrame | None = None,
     **fetch_opts,
 ) -> DataFrame:
     """(site_id, url, link_idx): sitemap-discovered page URLs per seed
     site, deterministically ordered and capped. ``fetch_opts`` mirror
-    the engine's ``http_opts`` (timeout_s, user_agent, ...)."""
-    targets = seeds.select(
-        "site_id",
-        F.concat(
-            F.parse_url("base_url", F.lit("PROTOCOL")),
-            F.lit("://"),
-            F.regexp_extract(
-                "base_url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1
-            ),
-        ).alias("_origin"),
-    ).distinct()
-    robots = fetch_robots(
-        targets.withColumn(
-            "robots_url", F.concat("_origin", F.lit("/robots.txt"))
-        ),
-        "robots_url",
-        **fetch_opts,
-    )
+    the engine's ``http_opts`` (timeout_s, user_agent, ...). Pass
+    ``robots_raw`` (a ``robots.fetch_robots_raw`` result) to reuse the
+    rules path's fetch instead of re-GETting every robots.txt."""
+    if robots_raw is None:
+        from crawler_spark.operators.robots import fetch_robots_raw
+
+        robots_raw = fetch_robots_raw(seeds, **fetch_opts)
+    robots = robots_raw.select("site_id", "_origin", "robots_txt")
 
     def listed(batches):
         for pdf in batches:

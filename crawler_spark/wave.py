@@ -227,12 +227,20 @@ class CrawlEngine:
             assert attachments is not None, (
                 "attachments='table' needs an attachments DataFrame (url, payload)"
             )
+        # One shared robots.txt fetch feeds BOTH live-politeness rules and
+        # sitemap discovery (enabling both costs one GET per host, not
+        # two); materialized here because the per-wave robots_filter
+        # broadcast / the bootstrap sitemap read must not re-hit the
+        # network. The provided-table path stays the deterministic parity
+        # oracle, like fetch_mode simulated/http.
+        self._robots_raw = None
+        if self.config.robots_mode == "http" or self.config.sitemap_seeding:
+            from crawler_spark.operators.robots import fetch_robots_raw
+
+            self._robots_raw = fetch_robots_raw(
+                seeds, **(self.config.http_opts or {})
+            ).persist()
         if self.config.robots_mode == "http":
-            # Production politeness bootstrap: one robots.txt fetch+parse
-            # per distinct seed host (operators/robots.py), materialized
-            # ONCE here — the per-wave robots_filter broadcast must not
-            # re-hit the network. The provided-table path below stays the
-            # deterministic parity oracle, like fetch_mode simulated/http.
             assert robots is None, (
                 "robots_mode='http' fetches rules from the live hosts; "
                 "don't also pass a robots DataFrame"
@@ -240,7 +248,8 @@ class CrawlEngine:
             from crawler_spark.operators.robots import robots_from_seeds
 
             self.robots_df = robots_from_seeds(
-                spark, seeds, **(self.config.http_opts or {})
+                spark, seeds, raw=self._robots_raw,
+                **(self.config.http_opts or {}),
             ).persist()
             self.robots_df.count()  # materialize: fetch exactly once
         else:
@@ -434,7 +443,10 @@ class CrawlEngine:
 
         cfg = self.config
         cand = sitemap_candidates(
-            self.spark, self.seeds_df, **(cfg.http_opts or {})
+            self.spark,
+            self.seeds_df,
+            robots_raw=self._robots_raw,
+            **(cfg.http_opts or {}),
         ).withColumn("parent_seq", F.lit(1).cast("long"))
         base = self.seeds_df.select(
             "site_id",
