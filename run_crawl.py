@@ -44,6 +44,10 @@ def main() -> int:
     ap.add_argument("--robots", choices=["table", "http"], default="table",
                     help="politeness rules source: robots.parquet in --corpus (table) "
                          "or live /robots.txt fetch per seed host (http)")
+    ap.add_argument("--warc", default=None, metavar="DIR",
+                    help="read the pages table from a directory of Common-Crawl "
+                         ".warc/.warc.gz archives instead of pages.parquet "
+                         "(simulated fetch mode)")
     ap.add_argument("--sitemaps", action="store_true",
                     help="seed the wave-0 frontier from each host's sitemaps "
                          "(robots.txt Sitemap: directives, /sitemap.xml fallback)")
@@ -63,12 +67,16 @@ def main() -> int:
     args = ap.parse_args()
 
     from crawler_spark.session import build_session
+    from crawler_spark.sources import read_warc
     from crawler_spark.wave import CrawlConfig, CrawlEngine
 
     spark = build_session(app_name="run_crawl", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
-    if not os.path.exists(os.path.join(args.corpus, "pages.parquet")):
+    # with --warc, pages come from the archives; the corpus dir only
+    # needs seeds (and optional robots/kb/ledger/attachments) parquet
+    needed = "seeds.parquet" if args.warc else "pages.parquet"
+    if not os.path.exists(os.path.join(args.corpus, needed)):
         os.makedirs(args.corpus, exist_ok=True)
         from crawler_spark.synthgen import generate_corpus
 
@@ -86,7 +94,11 @@ def main() -> int:
     engine = CrawlEngine(
         spark,
         args.workdir,
-        pages=None if args.fetch == "http" else t("pages"),
+        pages=(
+            None
+            if args.fetch == "http"
+            else read_warc(spark, args.warc) if args.warc else t("pages")
+        ),
         seeds=t("seeds"),
         robots=None if args.robots == "http" else opt("robots"),
         kb_seed=opt("kb_seed"),
