@@ -1055,6 +1055,92 @@ def longrun() -> None:
         )
 
 
+def warc_bench() -> None:
+    """WARC-source throughput: shard the bench corpus into .warc.gz
+    archives (once, cached) and time read_warc end-to-end at
+    BENCH_WARC_CPUS (default 8). One JSON line; evidence in
+    BENCH/WARC.md."""
+    n_pages = int(os.environ.get("BENCH_PAGES", "400000"))
+    page_scale = int(os.environ.get("BENCH_PAGE_SCALE", "24"))
+    cpus = int(os.environ.get("BENCH_WARC_CPUS", "8"))
+    corpus = _corpus(n_pages, page_scale)
+    warcdir = f"/tmp/crawler_spark_warc_bench_{n_pages}_{page_scale}"
+    marker = os.path.join(warcdir, "_done")
+
+    if not os.path.exists(marker):
+        os.makedirs(warcdir, exist_ok=True)
+        from crawler_spark.sources.warc import write_warc
+
+        spark = build("local[16]", shuffle=32)
+        try:
+            pages = spark.read.parquet(f"{corpus}/pages.parquet").repartition(32)
+
+            def dump(batches):
+                import uuid
+                from datetime import timezone
+
+                name = f"{warcdir}/part-{uuid.uuid4().hex}.warc.gz"
+                written = 0
+
+                def recs():
+                    nonlocal written
+                    for pdf in batches:
+                        for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                            written += 1
+                            yield (
+                                str(u),
+                                t.to_pydatetime().replace(tzinfo=timezone.utc),
+                                bytes(h),
+                            )
+
+                write_warc(name, recs())
+                yield pd.DataFrame({"path": [name], "n": [written]})
+
+            pages.select("url", "warc_ts", "html").mapInPandas(
+                dump, "path string, n long"
+            ).collect()
+            with open(marker, "w") as f:
+                f.write("ok")
+        finally:
+            spark.stop()
+
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.warc import read_warc
+
+    spark = build(f"local[{cpus}]", shuffle=cpus)
+    try:
+        t0 = time.time()
+        row = (
+            read_warc(spark, warcdir)
+            .agg(F.count("*").alias("n"), F.sum(F.length("html")).alias("b"))
+            .collect()[0]
+        )
+        sec = time.time() - t0
+    finally:
+        spark.stop()
+    gz = sum(
+        os.path.getsize(os.path.join(warcdir, f))
+        for f in os.listdir(warcdir)
+        if f.endswith(".gz")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "warc_read_sec",
+                "value": round(sec, 2),
+                "unit": "sec",
+                "cpus": cpus,
+                "rows": int(row["n"]),
+                "html_mb": round(row["b"] / 1e6, 1),
+                "archive_mb": round(gz / 1e6, 1),
+                "rows_per_sec": round(row["n"] / sec, 1),
+                "archive_mb_per_sec": round(gz / 1e6 / sec, 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -1068,5 +1154,7 @@ if __name__ == "__main__":
         longrun()
     elif "--filter-read" in sys.argv:
         filter_read()
+    elif "--warc" in sys.argv:
+        warc_bench()
     else:
         main()
