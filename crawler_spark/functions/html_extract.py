@@ -232,7 +232,9 @@ def extract_links(root: _Node, current_url: str, base_netloc: str) -> list[dict]
         # base_netloc "*" = open-crawl mode (multi-host frontier); the
         # reference is always same-domain (extractor filters on the seed's
         # netloc), which corresponds to a concrete base_netloc here.
-        if base_netloc != "*" and urlparse(absolute).netloc != base_netloc:
+        # Hosts compare case-insensitively (RFC 3986 §3.2.2) — base_netloc
+        # arrives pre-lowercased (urlfns.netloc_of), lower() this side.
+        if base_netloc != "*" and urlparse(absolute).netloc.lower() != base_netloc:
             continue
         anchor = text_content(el).strip()
         if anchor:

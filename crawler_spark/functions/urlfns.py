@@ -17,12 +17,18 @@ from pyspark.sql import functions as F
 # --- F1: URL validity (validator semantics) -------------------------------
 
 def netloc_of(url: Column) -> Column:
-    """The URL's network location — host INCLUDING the port, matching
-    Python's ``urlparse(url).netloc`` (the reference's same-domain unit,
-    url_validator.py:9). ``parse_url(url, 'HOST')`` strips the port, so a
-    port-qualified corpus (e.g. a loopback test web on 127.0.0.1:PORT)
-    would wrongly cross-match hosts on different ports."""
-    return F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    """The URL's network location — host INCLUDING the port, lowercased.
+
+    The reference's same-domain unit is ``urlparse(url).netloc``
+    (url_validator.py:9); ``parse_url(url, 'HOST')`` strips the port, so
+    a port-qualified corpus (e.g. a loopback test web on 127.0.0.1:PORT)
+    would wrongly cross-match hosts on different ports. Deliberate
+    deviation from raw urlparse: hosts are case-insensitive (RFC 3986
+    §3.2.2), so the netloc is lowercased — a page on example.com linking
+    ``https://Example.com/p`` stays same-domain instead of silently
+    dropping the subtree. ``extract_links`` lowercases its side of the
+    same comparison (html_extract.py)."""
+    return F.lower(F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
 
 
 def is_valid_url(url: Column, base_netloc: Column) -> Column:

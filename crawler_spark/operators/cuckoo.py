@@ -135,14 +135,27 @@ def size_cuckoo(expected_items: int) -> int:
     return max(4, math.ceil(math.log2(need)))
 
 
-def _insert_batch(f: "CuckooFilter", hashes: np.ndarray) -> None:
+_SATURATED = -1  # n_items sentinel: bucket over capacity, degraded
+
+
+def _insert_batch(f: "CuckooFilter", hashes: np.ndarray) -> bool:
+    """Insert all hashes; False once the table saturates.
+
+    A cuckoo table cannot grow in place (bucket indexes need the full
+    key hash, which the stored fingerprints no longer carry), and
+    stopping mid-batch leaves the uninserted keys as FALSE NEGATIVES —
+    which would break the anti-join's no-duplicate guarantee. So the
+    caller marks a saturated bucket with ``n_items = _SATURATED``:
+    lookups then report maybe_seen=True for EVERY candidate in that
+    bucket and the exact anti-join confirms each one. Performance
+    degrades (that bucket loses its prefilter), correctness does not —
+    the cuckoo analog of a Bloom filter's FPR drifting up when
+    overfull, instead of the former hard ValueError that killed the
+    wave mid-crawl."""
     for h in hashes.tolist():  # eviction chains are inherently sequential
         if not f.insert(int(h)):
-            raise ValueError(
-                "cuckoo bucket over capacity — size n_buckets/expected_items "
-                f"so each bucket holds ≤{_TARGET_LOAD:.0%} load "
-                f"({f.n_items} items in {f.n_buckets * _SLOTS_PER_BUCKET} slots)"
-            )
+            return False
+    return True
 
 
 def build_cuckoo_filters(
@@ -161,11 +174,11 @@ def build_cuckoo_filters(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         f = CuckooFilter(n_slots_log2=log2_slots)
-        _insert_batch(f, pdf["url_hash"].to_numpy(dtype=np.int64))
+        ok = _insert_batch(f, pdf["url_hash"].to_numpy(dtype=np.int64))
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "n_items": [f.n_items],
+                "n_items": [f.n_items if ok else _SATURATED],
                 "m_bits": [f.n_buckets],
                 "k": [_SLOTS_PER_BUCKET],
                 "filter_blob": [f.to_bytes()],
@@ -191,18 +204,24 @@ def update_cuckoo_filters(
     log2_default = size_cuckoo(max(1, expected_items // n_buckets))
 
     def merge(key, filt: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        prior_items = int(filt["n_items"].iloc[0]) if len(filt) else 0
         if len(filt):
             f = CuckooFilter.from_bytes(
-                bytes(filt["filter_blob"].iloc[0]), int(filt["n_items"].iloc[0])
+                bytes(filt["filter_blob"].iloc[0]), max(prior_items, 0)
             )
         else:
             f = CuckooFilter(n_slots_log2=log2_default)
-        if len(keys):
+        # an already-saturated bucket stays saturated (its lookups are
+        # all-maybe-seen anyway — inserting more fingerprints is moot)
+        ok = prior_items >= 0 and (
             _insert_batch(f, keys["url_hash"].to_numpy(dtype=np.int64))
+            if len(keys)
+            else True
+        )
         return pd.DataFrame(
             {
                 "bucket": [int(key[0])],
-                "n_items": [f.n_items],
+                "n_items": [f.n_items if ok else _SATURATED],
                 "m_bits": [f.n_buckets],
                 "k": [_SLOTS_PER_BUCKET],
                 "filter_blob": [f.to_bytes()],
@@ -238,8 +257,12 @@ def cuckoo_flag(candidates, filters, n_buckets: int = 32):
         if not len(filt):
             out["maybe_seen"] = False
             return out
+        n_items = int(filt["n_items"].iloc[0])
+        if n_items < 0:  # saturated bucket: every candidate pays the
+            out["maybe_seen"] = True  # exact confirm — no false negatives
+            return out
         f = CuckooFilter.from_bytes(
-            bytes(filt["filter_blob"].iloc[0]), int(filt["n_items"].iloc[0])
+            bytes(filt["filter_blob"].iloc[0]), n_items
         )
         out["maybe_seen"] = f.contains_many(
             cand["url_hash"].to_numpy(dtype=np.int64)

@@ -52,6 +52,7 @@ from crawler_spark import schemas
 from crawler_spark.operators.fetch import (
     DEFAULT_USER_AGENT,
     _pooled_fetch,
+    fetch_binary_one,
 )
 
 _DIRECTIVES = {"user-agent", "disallow", "allow", "crawl-delay"}
@@ -99,7 +100,13 @@ def parse_robots_txt(
         key = key.strip().lower()
         value = value.strip()
         if key not in _DIRECTIVES:
-            continue  # sitemap/host/unknown — not group-relevant
+            # sitemap/host/unknown lines are transparent to grouping: they
+            # neither end a User-agent header run nor close a group. This
+            # matches the RFC authors' reference parser (google/robotstxt:
+            # only allow/disallow set the seen-separator flag), so
+            # "User-agent: *\nSitemap: x\nUser-agent: other\nDisallow: /"
+            # is ONE merged group — the conservative (over-blocking) read.
+            continue
         if key == "user-agent":
             if not in_header:
                 if agents:
@@ -201,19 +208,12 @@ def fetch_robots_one(
     RFC 9309 §2.3: parse on 200 regardless of declared content type
     (robots.txt is served as text/plain, text/html, even octet-stream in
     the wild); utf-8 with errors ignored, 500 KiB cap (RFC minimum for
-    parseable size).
+    parseable size). Delegates the request/status/exception handling to
+    ``fetch_binary_one`` — ONE urllib code path in the package, so
+    redirect/timeout fixes there reach robots too.
     """
-    import urllib.request
-
-    req = urllib.request.Request(url, headers={"User-Agent": user_agent})
-    try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-            status = getattr(resp, "status", None) or resp.getcode()
-            if status != 200:
-                return (None,)
-            return (resp.read(max_bytes).decode("utf-8", errors="ignore"),)
-    except Exception:
-        return (None,)
+    body, _ctype = fetch_binary_one(url, timeout_s, user_agent, max_bytes)
+    return (body.decode("utf-8", errors="ignore") if body is not None else None,)
 
 
 def fetch_robots(
@@ -248,8 +248,13 @@ def fetch_robots_raw(
     (``robots_from_seeds``) and sitemap discovery
     (``sitemaps.sitemap_candidates``), so enabling both costs one GET
     per host, not two. ``host`` is the wave's join key (lower(HOST),
-    port-less); ``_origin`` keeps scheme and port for further fetches."""
-    targets = seeds.select(
+    port-less); ``_origin`` keeps scheme and port for further fetches.
+
+    The fetch itself dedupes on ``_origin`` alone — seed sites that share
+    an origin (same scheme://netloc, different site_id) ride one GET and
+    fan back out through a broadcast join, keeping the one-GET-per-origin
+    contract."""
+    sites = seeds.select(
         "site_id",
         F.lower(F.parse_url("base_url", F.lit("HOST"))).alias("host"),
         F.concat(
@@ -261,13 +266,16 @@ def fetch_robots_raw(
             ),
         ).alias("_origin"),
     ).distinct()
-    return fetch_robots(
-        targets.withColumn(
+    fetched = fetch_robots(
+        sites.select("_origin").distinct().withColumn(
             "robots_url", F.concat("_origin", F.lit("/robots.txt"))
         ),
         "robots_url",
         user_agent=user_agent,
         **fetch_opts,
+    ).select("_origin", "robots_txt")
+    return sites.join(F.broadcast(fetched), "_origin").select(
+        "site_id", "host", "_origin", "robots_txt"
     )
 
 

@@ -42,7 +42,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from crawler_spark.operators.fetch import fetch_binary_one
+from crawler_spark.operators.fetch import _pooled_fetch, fetch_binary_one
 
 
 def parse_robots_sitemaps(text: str | None) -> list[str]:
@@ -109,35 +109,22 @@ _PARSED = StructType(
 def _fetch_and_parse(sm: DataFrame, url_col: str, fetch_opts: dict) -> DataFrame:
     """sitemap-url rows → + (page_urls, child_sitemaps) arrays. The fetch
     keeps ANY content type (sitemaps are served as xml, gzip,
-    octet-stream); parse runs in the same Arrow batch."""
+    octet-stream); parse runs in the same Arrow batch. Rides the shared
+    ``_pooled_fetch`` scaffolding so the per-host in-flight cap applies —
+    a sitemapindex fanning 50 children out against one host is exactly
+    the shape the anti-hammering backstop exists for."""
     opts = {k: v for k, v in fetch_opts.items() if k in
             ("timeout_s", "user_agent", "max_bytes")}
     max_concurrency = int(fetch_opts.get("max_concurrency", 8))
+    per_host = int(fetch_opts.get("per_host", 2))
 
-    in_cols = sm.columns
-    out_schema = StructType(sm.schema.fields + list(_PARSED.fields))
+    def one(u: str) -> tuple[list[str], list[str]]:
+        body, _ctype = fetch_binary_one(str(u), **opts)
+        return parse_sitemap(body)
 
-    def gen(batches):
-        from concurrent.futures import ThreadPoolExecutor
-
-        def one(u: str) -> tuple[list[str], list[str]]:
-            body, _ctype = fetch_binary_one(str(u), **opts)
-            return parse_sitemap(body)
-
-        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-            for pdf in batches:
-                # pool.map preserves input order → row alignment is exact
-                results = list(pool.map(one, pdf[url_col]))
-                out = pdf[in_cols].copy()
-                out["page_urls"] = pd.Series(
-                    [r[0] for r in results], index=out.index, dtype=object
-                )
-                out["child_sitemaps"] = pd.Series(
-                    [r[1] for r in results], index=out.index, dtype=object
-                )
-                yield out
-
-    return sm.mapInPandas(gen, out_schema)
+    return _pooled_fetch(
+        sm, url_col, list(_PARSED.fields), one, max_concurrency, per_host
+    )
 
 
 def sitemap_candidates(

@@ -74,9 +74,39 @@ def _read_until(stream, sep: bytes, cap: int = 64 * 1024) -> bytes | None:
             return None
 
 
+def _dechunk(payload: bytes) -> bytes | None:
+    """Decode a Transfer-Encoding: chunked body; None if malformed."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = payload.find(_CRLF, pos)
+        if nl == -1:
+            return None
+        size_tok = payload[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are irrelevant here
+        if pos + size > len(payload):
+            return None
+        out += payload[pos : pos + size]
+        pos += size + 2  # chunk data + its trailing CRLF
+
+
 def _http_html_payload(body: bytes) -> bytes | None:
-    """HTTP response bytes → payload iff status 200 ∧ text/html (the
-    fetcher's keep-rules, operators/fetch.py); else None."""
+    """HTTP response bytes → decoded payload iff status 200 ∧ text/html
+    (the fetcher's keep-rules, operators/fetch.py); else None.
+
+    Common Crawl stores payloads already decoded, but WARCs from wget /
+    Heritrix keep the wire form: Transfer-Encoding: chunked framing is
+    stripped and gzip/deflate Content-Encoding is decompressed, so the
+    ``html`` column always holds page bytes. A body we cannot decode
+    (malformed chunking, bad gzip, br/zstd without the codec) is SKIPPED
+    — storing framing lines or compressed bytes as html would silently
+    corrupt downstream extraction."""
     head, sep, payload = body.partition(_SEP)
     if not sep:
         return None
@@ -86,6 +116,28 @@ def _http_html_payload(body: bytes) -> bytes | None:
         return None
     headers = _parse_headers(_CRLF.join(lines[1:]))
     if "text/html" not in headers.get("content-type", ""):
+        return None
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+        if payload is None:
+            return None
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            payload = gzip.decompress(payload)
+        except OSError:
+            return None
+    elif enc == "deflate":
+        import zlib
+
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:  # raw-deflate servers (historical IIS behavior)
+                payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+            except zlib.error:
+                return None
+    elif enc not in ("", "identity"):
         return None
     return payload
 

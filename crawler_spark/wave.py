@@ -358,7 +358,11 @@ class CrawlEngine:
         att = (
             changed.select(
                 F.col("url_hash").alias("page_hash"),
-                F.concat(F.lit("https://"), F.col("base_netloc")).alias("base_url"),
+                # the linking PAGE's url is the resolution/same-host base:
+                # it keeps the real scheme (http seeds stay http) and a
+                # real host in open-crawl mode, where the site-level
+                # base_netloc is the '*' sentinel and would never match
+                F.col("canonical_url").alias("base_url"),
                 F.posexplode("ex.links").alias("att_idx", "_l"),
             )
             .select(
@@ -389,7 +393,11 @@ class CrawlEngine:
             ).select(F.col("attachment_url").alias("url"), "payload")
         payloads = payloads.persist()
 
-        parsed = parse_attachments(payloads)
+        # persisted: blocks (→ crawled stage job) and failures (→
+        # failed_attachments stage job) both read `parsed`, and the two
+        # jobs run concurrently — without the persist each would re-run
+        # the wave's most expensive per-attachment work (PDF/DOCX parse)
+        parsed = parse_attachments(payloads).persist()
         blocks = (
             att.join(
                 parsed.withColumnRenamed("url", "attachment_url"), "attachment_url"
@@ -412,7 +420,7 @@ class CrawlEngine:
             payloads.join(parsed.filter(~F.col("ok")).select("url"), "url", "left_semi")
             .select("url", F.lit("fetch_or_parse_failed").alias("reason"), "payload")
         )
-        return blocks, failures, payloads
+        return blocks, failures, [payloads, parsed]
 
     def _filter_ops(self):
         """(build, update, anti_join) for the configured seen prefilter."""
@@ -1257,7 +1265,8 @@ class CrawlEngine:
         new_rows.unpersist()
         frontier_delta.unpersist()
         if att_payloads is not None:
-            att_payloads.unpersist()
+            for h in att_payloads:
+                h.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
     def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):

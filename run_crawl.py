@@ -65,6 +65,10 @@ def main() -> int:
     ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
     ap.add_argument("--gen-pages", type=int, default=2000)
     args = ap.parse_args()
+    if args.warc and args.fetch == "http":
+        ap.error("--warc provides the pages table for the simulated fetch; "
+                 "it cannot be combined with --fetch http (the WARC corpus "
+                 "would be silently ignored)")
 
     from crawler_spark.session import build_session
     from crawler_spark.sources import read_warc

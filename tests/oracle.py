@@ -48,7 +48,9 @@ def is_valid_url(url: str, base_netloc: str) -> bool:
     p = urlparse(url)
     if p.scheme not in ("http", "https"):
         return False
-    if p.netloc != base_netloc:
+    # hosts compare case-insensitively (RFC 3986 §3.2.2), mirroring
+    # urlfns.netloc_of / html_extract.extract_links
+    if p.netloc.lower() != base_netloc.lower():
         return False
     if "#" in url or "javascript:void(0)" in url:
         return False

@@ -63,3 +63,39 @@ def test_quality_score_buckets():
     long_text = ". ".join(f"sentence number {i} with enough substance" for i in range(20))
     assert content_quality(long_text) >= 0.6
     assert content_quality("내용 설명 정보 " + long_text) >= content_quality(long_text)
+
+
+def test_same_domain_host_match_is_case_insensitive(spark):
+    """RFC 3986 §3.2.2: hosts are case-insensitive. A page on example.com
+    linking https://Example.com/p2 stays same-domain on BOTH comparison
+    sides (the JVM validity predicate and the Python-side link filter)."""
+    from crawler_spark.functions.html_extract import extract_page
+    from crawler_spark.functions.urlfns import is_valid_url, netloc_of
+
+    html = (
+        b"<html><body><main>x</main>"
+        b'<a href="https://Example.com/p2">mixed-case self link</a>'
+        b'<a href="https://other.com/q">cross host</a></body></html>'
+    )
+    res = extract_page(html, "https://example.com/p1", "example.com")
+    assert [l["url"] for l in res["links"]] == ["https://Example.com/p2"]
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [
+            ("https://Example.com/p2", "example.com"),
+            ("https://example.com/p3", "example.com"),
+            ("https://other.com/q", "example.com"),
+        ],
+        "url string, base_netloc string",
+    )
+    got = df.select(
+        "url", is_valid_url(F.col("url"), F.col("base_netloc")).alias("ok")
+    ).collect()
+    assert {r["url"]: r["ok"] for r in got} == {
+        "https://Example.com/p2": True,
+        "https://example.com/p3": True,
+        "https://other.com/q": False,
+    }
+    assert df.select(netloc_of(F.col("url")).alias("n")).distinct().count() == 2

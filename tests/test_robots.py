@@ -72,6 +72,30 @@ Disallow: /z
     assert parse_robots_txt(txt, UA) == (["/x", "/y"], [], None)
 
 
+def test_parse_non_group_lines_are_transparent_to_grouping():
+    """Sitemap/host/unknown lines neither end a User-agent header run nor
+    close a group — parity with the RFC authors' reference parser
+    (google/robotstxt: only allow/disallow set the seen-separator flag).
+    Two UA lines separated only by a Sitemap line therefore merge, the
+    conservative (over-blocking) read."""
+    merged = """
+User-agent: *
+Sitemap: https://h/s.xml
+User-agent: otherbot
+Disallow: /private
+"""
+    assert parse_robots_txt(merged, UA) == (["/private"], [], None)
+    # ...but a Sitemap line after RULES still leaves the groups separate
+    separate = """
+User-agent: *
+Disallow: /star
+Sitemap: https://h/s.xml
+User-agent: otherbot
+Disallow: /private
+"""
+    assert parse_robots_txt(separate, UA) == (["/star"], [], None)
+
+
 def test_parse_wildcard_and_anchor_over_block():
     txt = """
 User-agent: *
@@ -214,7 +238,11 @@ PAGES: dict[str, bytes] = {
 
 
 class _Handler(BaseHTTPRequestHandler):
+    hits: dict[str, int] = {}  # path → GET count (single-process tests)
+
     def do_GET(self):  # noqa: N802 (http.server API)
+        cls = type(self)
+        cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
         if self.path == "/robots.txt":
             status, ctype, body = 200, "text/plain", ROBOTS_TXT
         elif self.path in PAGES:
@@ -284,6 +312,28 @@ def test_robots_from_seeds_rules_and_host_uniqueness(spark, server):
     assert r["crawl_delay"] == 1.0
 
 
+def test_fetch_robots_raw_one_get_per_origin(spark, server):
+    """Seed sites sharing an origin ride ONE robots.txt GET; the result
+    fans back out to every (site_id, host) row."""
+    from crawler_spark import schemas
+    from crawler_spark.operators.robots import fetch_robots_raw
+
+    seeds = spark.createDataFrame(
+        [
+            ("a1", "site a1", f"{server}/", "crawl", 50, 0.0),
+            ("a2", "site a2", f"{server}/p1", "crawl", 50, 0.0),
+            ("a3", "site a3", f"{server}/p2", "crawl", 50, 0.0),
+        ],
+        schemas.SEEDS,
+    )
+    before = _Handler.hits.get("/robots.txt", 0)
+    raw = fetch_robots_raw(seeds, timeout_s=5.0).collect()
+    after = _Handler.hits.get("/robots.txt", 0)
+    assert after - before == 1  # one origin → one GET, not one per site
+    assert {r["site_id"] for r in raw} == {"a1", "a2", "a3"}
+    assert all(r["robots_txt"] == ROBOTS_TXT.decode() for r in raw)
+
+
 # ------------------------------------------------- end-to-end parity
 
 def test_http_robots_crawl_matches_table_oracle(spark, server, tmp_path_factory):
@@ -320,15 +370,18 @@ def test_http_robots_crawl_matches_table_oracle(spark, server, tmp_path_factory)
     tbl_eng = run(tmp_path_factory.mktemp("robots_tbl"), "table", table_rules)
 
     def sig(eng):
+        # resolved MOR view, not the raw log: the log legitimately holds
+        # BOTH the pending version and the terminal version of a consumed
+        # row, in nondeterministic read order
         return sorted(
             (r["canonical_url"], r["state"], r["seq"])
-            for r in eng.cat.read("frontier").collect()
+            for r in eng.frontier_view().collect()
         )
 
     assert sig(http_eng) == sig(tbl_eng)
     states = {
         r["canonical_url"]: r["state"]
-        for r in http_eng.cat.read("frontier").collect()
+        for r in http_eng.frontier_view().collect()
     }
     assert states[f"{server}/p3"] == "robots_blocked"
     crawled = {

@@ -156,6 +156,42 @@ def test_cuckoo_insert_contains_delete(hash_sets):
     assert not f2.contains_many(seen[:100]).all()
 
 
+def test_cuckoo_saturation_degrades_without_false_negatives(spark, hash_sets):
+    """An over-capacity cuckoo bucket degrades to all-maybe-seen (every
+    candidate pays the exact confirm) instead of killing the wave — the
+    cuckoo analog of Bloom FPR drift. No false negatives either way."""
+    from crawler_spark.operators import cuckoo as C
+
+    seen, fresh = hash_sets
+    seen = seen[:5000]
+    seen_df = spark.createDataFrame([(int(h),) for h in seen], "url_hash long")
+    # expected_items 256 across 8 buckets → ~64 slots/bucket vs ~625
+    # actual keys/bucket: every bucket saturates
+    filters = C.build_cuckoo_filters(
+        seen_df, n_buckets=N_BUCKETS, expected_items=256
+    ).persist()
+    n_items = [r["n_items"] for r in filters.select("n_items").collect()]
+    assert all(n < 0 for n in n_items), n_items  # saturated sentinel
+    # saturated bucket: every candidate flagged maybe-seen → exact confirm
+    cand = spark.createDataFrame(
+        [(int(h),) for h in np.concatenate([seen[:500], fresh[:500]])],
+        "url_hash long",
+    )
+    assert C.cuckoo_flag(cand, filters, N_BUCKETS).filter(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    got = sorted(
+        r["url_hash"]
+        for r in C.cuckoo_anti_join_seen(cand, seen_df, filters, N_BUCKETS).collect()
+    )
+    assert got == sorted(int(h) for h in fresh[:500])  # exact-path result
+    # a saturated bucket stays saturated through an update
+    more = spark.createDataFrame([(int(h),) for h in fresh[500:600]], "url_hash long")
+    upd = C.update_cuckoo_filters(filters, more, n_buckets=N_BUCKETS, expected_items=256)
+    assert all(r["n_items"] < 0 for r in upd.select("n_items").collect())
+    filters.unpersist()
+
+
 def test_wave_prunes_filter_read_to_candidate_buckets(
     spark, corpus, tmp_path_factory, monkeypatch
 ):

@@ -69,6 +69,59 @@ def test_iter_warc_damage_and_caps():
     assert [u for u, _, _ in iter_warc_records(stream)] == ["https://h/a"]
 
 
+def test_iter_warc_wire_form_payloads():
+    """wget/Heritrix-style WARCs keep the wire form: chunked framing is
+    stripped, gzip/deflate content-encoding is decompressed, and bodies
+    that cannot be decoded are skipped instead of stored as garbage."""
+    import zlib
+
+    page = b"<html>wire</html>"
+    chunked = b"7\r\n<html>w\r\nA\r\nire</html>\r\n0\r\n\r\n"
+    http_chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked" + SEP + chunked
+    )
+    gz = gzip.compress(page)
+    http_gzip = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip" + SEP + gz
+    )
+    http_deflate_raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: deflate" + SEP
+        + zlib.compress(page)[2:-4]  # raw-deflate (historical IIS form)
+    )
+    http_chunked_gzip = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip" + SEP
+        + f"{len(gz):x}".encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+    )
+    http_bad_gzip = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip" + SEP + b"not gzip at all"
+    )
+    http_unknown_enc = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br" + SEP + b"\x1b\x02\x80compressed"
+    )
+    stream = io.BytesIO(
+        _record("response", "https://h/chunked", http_chunked)
+        + _record("response", "https://h/gz", http_gzip)
+        + _record("response", "https://h/deflate", http_deflate_raw)
+        + _record("response", "https://h/both", http_chunked_gzip)
+        + _record("response", "https://h/badgz", http_bad_gzip)
+        + _record("response", "https://h/br", http_unknown_enc)
+    )
+    got = {u: bytes(h) for u, _, h in iter_warc_records(stream)}
+    assert got == {
+        "https://h/chunked": page,
+        "https://h/gz": page,
+        "https://h/deflate": page,
+        "https://h/both": page,
+        # badgz (undecodable) and br (codec absent) are skipped
+    }
+
+
 def test_read_warc_distributed(spark, tmp_path):
     """Reader contract: .warc + multi-member .warc.gz in one directory →
     schemas.PAGES rows with NULL text/lang."""
