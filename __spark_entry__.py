@@ -85,6 +85,55 @@ def q_politeness_quota(spark, sf_dir):
     )
 
 
+def q_robots_precedence(spark, sf_dir):
+    """W3 (round-4 Allow rules): RFC 9309 §2.2.2 longest-match precedence
+    between Allow and Disallow prefixes (politeness.robots_filter). A URL
+    is blocked iff its longest matching disallow prefix is STRICTLY
+    longer than its longest matching allow prefix; ties go to allow;
+    hosts with no rules row are never blocked. Candidates and the
+    per-host rule tables are synthesized deterministically from doc_id
+    so the DuckDB oracle re-derives them from the same arithmetic."""
+    from crawler_spark.operators.politeness import robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example")
+    )
+    path = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/pub/x"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/p"), F.col("doc_id")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("/private/open/q"), F.col("doc_id")),
+        )
+        .otherwise(F.lit("/private"))
+    )
+    cand = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            # allow deeper than disallow → the subtree reopens
+            ("h0.example", ["/private"], ["/private/open"]),
+            # disallow-all with an allow carve-out
+            ("h1.example", ["/"], ["/pub"]),
+            # multiple disallow prefixes, no allow
+            ("h2.example", ["/private", "/pub/x1"], []),
+            # equal-length tie → allow wins (RFC "SHOULD use the allow")
+            ("h3.example", ["/private"], ["/private"]),
+            # h4.example has NO rules row → left join null → never blocked
+        ],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    return (
+        robots_filter(cand, rules)
+        .select("doc_id", "host", "canonical_url", "robots_blocked")
+        .orderBy("doc_id")
+    )
+
+
 def q_kb_aggregate(spark, sf_dir):
     """A1/L3: KB pattern aggregate — sum/count/round(avg,3)."""
     ev = _t(spark, sf_dir, "events")
@@ -440,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "frontier_window_rank": q_frontier_window_rank,
         "politeness_quota": q_politeness_quota,
+        "robots_precedence": q_robots_precedence,
         "kb_aggregate": q_kb_aggregate,
         "link_filter": q_link_filter,
         "ledger_changed": q_ledger_changed,
@@ -458,7 +508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
-        # rows-only (approximate-by-design / stub-bound; checks in tests/)
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -530,6 +579,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    least(count(*), 5)::BIGINT AS allowed
             FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "robots_precedence": """
+            WITH cand AS (
+                SELECT doc_id,
+                       'h' || (doc_id % 5) || '.example' AS host,
+                       CASE WHEN doc_id % 4 = 0 THEN '/pub/x' || doc_id
+                            WHEN doc_id % 4 = 1 THEN '/private/p' || doc_id
+                            WHEN doc_id % 4 = 2 THEN '/private/open/q' || doc_id
+                            ELSE '/private' END AS path
+                FROM documents
+            ), rules AS (
+                SELECT * FROM (VALUES
+                    ('h0.example', ['/private'], ['/private/open']),
+                    ('h1.example', ['/'], ['/pub']),
+                    ('h2.example', ['/private', '/pub/x1'], []::VARCHAR[]),
+                    ('h3.example', ['/private'], ['/private'])
+                ) AS t(host, disallow, allow)
+            )
+            SELECT c.doc_id, c.host,
+                   'https://' || c.host || c.path AS canonical_url,
+                   COALESCE(
+                     COALESCE(list_max(list_transform(
+                         list_filter(r.disallow, p -> starts_with(c.path, p)),
+                         p -> length(p))), -1)
+                     >
+                     COALESCE(list_max(list_transform(
+                         list_filter(r.allow, p -> starts_with(c.path, p)),
+                         p -> length(p))), -1),
+                     FALSE) AS robots_blocked
+            FROM cand c LEFT JOIN rules r USING (host)
+            ORDER BY doc_id
         """,
         "kb_aggregate": """
             SELECT event_type,
