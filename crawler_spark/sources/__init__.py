@@ -1,3 +1,7 @@
 """Input sources that land external data in the engine's table shapes."""
 
-from crawler_spark.sources.warc import read_warc, write_warc  # noqa: F401
+from crawler_spark.sources.warc import (  # noqa: F401
+    export_warc,
+    read_warc,
+    write_warc,
+)

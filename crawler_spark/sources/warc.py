@@ -25,9 +25,12 @@ step: WARC → that table. ``read_warc`` is that step, Spark-shaped:
   are downstream extraction products (html_extract), not archive
   fields.
 
-``write_warc`` is the inverse (records → spec-compliant .warc/.warc.gz)
-— used by the round-trip tests and for exporting fixtures; it writes
-one gzip member per record like Common Crawl.
+``export_warc`` is the inverse — a distributed sink writing one
+Common-Crawl-layout archive per task (warcinfo head record, one gzip
+member per response record) through the same pyarrow FileSystem
+abstraction, so crawled corpora round-trip back into the archive
+ecosystem. ``write_warc`` is its single-file driver-side sibling for
+tests and fixture export.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from crawler_spark import schemas
 
@@ -260,30 +264,140 @@ def read_warc(
     return paths.mapInPandas(gen, schemas.PAGES)
 
 
+def _response_record(url: str, ts, html: bytes) -> bytes:
+    """One spec-compliant response record (WARC header + embedded HTTP)."""
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + b"Content-Length: " + str(len(html)).encode() + _SEP
+        + html
+    )
+    if ts.tzinfo is None:
+        # Spark timestamps arrive in pandas as tz-naive instants in the
+        # session timezone (UTC for this engine) — stamp, don't shift
+        ts = ts.replace(tzinfo=timezone.utc)
+    ts_s = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {ts_s}\r\n".encode()
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response"
+        + _SEP
+        + http
+        + _SEP
+    )
+
+
+def _warcinfo_record(ts_s: str) -> bytes:
+    """File-head warcinfo record (Common Crawl's layout). The date is the
+    first response's WARC-Date — deterministic, no wall clock."""
+    info = b"software: crawler-spark\r\nformat: WARC File Format 1.0\r\n"
+    return (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: warcinfo\r\n"
+        + f"WARC-Date: {ts_s}\r\n".encode()
+        + f"Content-Length: {len(info)}\r\n".encode()
+        + b"Content-Type: application/warc-fields"
+        + _SEP
+        + info
+        + _SEP
+    )
+
+
 def write_warc(path: str, records, gzipped: bool | None = None) -> None:
     """Write (url, warc_ts, html_bytes) records as a spec-compliant WARC
     file — one gzip member per record when gzipped (Common Crawl's
     layout), inferred from the filename by default. Local paths only
-    (a test/export utility, not a distributed sink)."""
+    (a test/export utility; the distributed sink is ``export_warc``)."""
     if gzipped is None:
         gzipped = path.endswith(".gz")
     with open(path, "wb") as f:
         for url, ts, html in records:
-            http = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                + b"Content-Length: " + str(len(html)).encode() + _SEP
-                + html
-            )
-            ts_s = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
-            rec = (
-                b"WARC/1.0\r\n"
-                b"WARC-Type: response\r\n"
-                + f"WARC-Target-URI: {url}\r\n".encode()
-                + f"WARC-Date: {ts_s}\r\n".encode()
-                + f"Content-Length: {len(http)}\r\n".encode()
-                + b"Content-Type: application/http; msgtype=response"
-                + _SEP
-                + http
-                + _SEP
-            )
+            rec = _response_record(url, ts, html)
             f.write(gzip.compress(rec) if gzipped else rec)
+
+
+_EXPORT_MANIFEST = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("n_records", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def export_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzipped: bool = True,
+    n_files: int | None = None,
+) -> "list":
+    """Distributed WARC sink: pages-shaped rows → Common-Crawl-layout
+    archives under ``out_dir``; the inverse of ``read_warc``
+    (round-trip-tested). Runs the export and returns the manifest rows
+    ``(path, n_records, n_bytes)``.
+
+    * **One archive per task.** Each task streams its partition through
+      ``_response_record`` into ``part-{pid:05d}.warc[.gz]`` — a
+      warcinfo head record then one gzip member PER RECORD (Common
+      Crawl's layout, and what makes ``read_warc``'s multi-member gzip
+      path work). ``n_files`` repartitions first (e.g. total_rows /
+      records-per-archive); default keeps the input partitioning.
+    * **Cluster-capable paths.** Files are opened through
+      ``pyarrow.fs.FileSystem.from_uri`` — the same abstraction the
+      reader uses — so local dirs, ``hdfs://`` and ``s3://`` all work
+      from executors.
+    * **Task-retry safe.** Tasks write ``*.inprogress`` then move to the
+      deterministic final name, so a retried task overwrites its own
+      partial output instead of duplicating records (rename is atomic
+      on POSIX/HDFS; copy-on-move object stores get last-writer-wins).
+    * Rows with NULL html carry no archivable payload and are skipped
+      (counted nowhere — filter upstream to audit them).
+
+    The manifest is collected on the driver — it is O(n_files), not
+    O(rows)."""
+    cols = df.filter(F.col("html").isNotNull()).select("url", "warc_ts", "html")
+    if n_files is not None:
+        cols = cols.repartition(max(1, int(n_files)))
+    ext = ".warc.gz" if gzipped else ".warc"
+
+    def gen(batches):
+        from pyarrow.fs import FileSystem
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        fs, base = FileSystem.from_uri(out_dir)
+        final_rel = f"{base.rstrip('/')}/part-{tc.partitionId():05d}{ext}"
+        # attempt-unique tmp: a speculative twin or retried attempt must
+        # never interleave writes into the same in-progress file
+        tmp_rel = f"{final_rel}.{tc.taskAttemptId()}.inprogress"
+        out = None
+        n = n_bytes = 0
+        try:
+            for pdf in batches:
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                    rec = _response_record(str(url), ts, bytes(html))
+                    if out is None:  # defer creation: empty task → no file
+                        fs.create_dir(base, recursive=True)  # idempotent
+                        out = fs.open_output_stream(tmp_rel, compression=None)
+                        head = _warcinfo_record(
+                            rec.split(b"WARC-Date: ", 1)[1].split(b"\r\n", 1)[0].decode()
+                        )
+                        head = gzip.compress(head) if gzipped else head
+                        out.write(head)
+                        n_bytes += len(head)
+                    body = gzip.compress(rec) if gzipped else rec
+                    out.write(body)
+                    n += 1
+                    n_bytes += len(body)
+        finally:
+            if out is not None:
+                out.close()
+        if out is not None:
+            fs.move(tmp_rel, final_rel)
+            yield pd.DataFrame(
+                {"path": [final_rel], "n_records": [n], "n_bytes": [n_bytes]}
+            )
+
+    return cols.mapInPandas(gen, _EXPORT_MANIFEST).collect()

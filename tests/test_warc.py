@@ -161,3 +161,52 @@ def test_warc_corpus_roundtrip(spark, corpus_dir):
         got = {(r["url"], bytes(r["html"])) for r in back.collect()}
         assert got == orig
         assert back.count() == 40
+
+
+def test_export_warc_distributed_roundtrip(spark, corpus_dir):
+    """Distributed sink: pages → export_warc (N archives, warcinfo head,
+    one gzip member per record) → read_warc reproduces (url, html)
+    exactly; manifest counts match; NULL-html rows are skipped; empty
+    partitions produce no file."""
+    import tempfile
+
+    from crawler_spark.sources.warc import export_warc
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet").limit(50)
+    with_null = pages.unionByName(
+        pages.limit(1).withColumn("html", F.lit(None).cast("binary"))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        manifest = export_warc(with_null, d, gzipped=True, n_files=4)
+        assert 1 <= len(manifest) <= 4
+        assert sum(m["n_records"] for m in manifest) == 50  # null-html skipped
+        assert all(m["path"].endswith(".warc.gz") for m in manifest)
+        assert all(m["n_bytes"] > 0 for m in manifest)
+        import os
+
+        assert not any(f.endswith(".inprogress") for f in os.listdir(d))
+        # warcinfo head record is present and skipped by the reader
+        with open(manifest[0]["path"], "rb") as f:
+            head = gzip.GzipFile(fileobj=f).read(64)
+        assert b"WARC-Type: warcinfo" in head
+        back = read_warc(spark, d)
+        orig = {(r["url"], bytes(r["html"])) for r in pages.collect()}
+        got = {(r["url"], bytes(r["html"])) for r in back.collect()}
+        assert got == orig
+
+
+def test_export_warc_uncompressed_single_file(spark, tmp_path):
+    """gzipped=False writes plain .warc; n_files=1 coalesces to one
+    archive with a deterministic name."""
+    from crawler_spark.sources.warc import export_warc
+
+    df = spark.createDataFrame(
+        [("https://a.example/1", TS, b"<html>one</html>", None, None),
+         ("https://a.example/2", TS, b"<html>two</html>", None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    manifest = export_warc(df, str(tmp_path), gzipped=False, n_files=1)
+    assert [m["path"].rsplit("/", 1)[1] for m in manifest] == ["part-00000.warc"]
+    assert manifest[0]["n_records"] == 2
+    got = {r["url"] for r in read_warc(spark, str(tmp_path)).collect()}
+    assert got == {"https://a.example/1", "https://a.example/2"}
