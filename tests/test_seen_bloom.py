@@ -164,7 +164,9 @@ def test_cuckoo_saturation_degrades_without_false_negatives(spark, hash_sets):
 
     seen, fresh = hash_sets
     seen = seen[:5000]
-    seen_df = spark.createDataFrame([(int(h),) for h in seen], "url_hash long")
+    seen_df = spark.createDataFrame(
+        [("s", int(h)) for h in seen], "site_id string, url_hash long"
+    )
     # expected_items 256 across 8 buckets → ~64 slots/bucket vs ~625
     # actual keys/bucket: every bucket saturates
     filters = C.build_cuckoo_filters(
@@ -174,8 +176,8 @@ def test_cuckoo_saturation_degrades_without_false_negatives(spark, hash_sets):
     assert all(n < 0 for n in n_items), n_items  # saturated sentinel
     # saturated bucket: every candidate flagged maybe-seen → exact confirm
     cand = spark.createDataFrame(
-        [(int(h),) for h in np.concatenate([seen[:500], fresh[:500]])],
-        "url_hash long",
+        [("s", int(h)) for h in np.concatenate([seen[:500], fresh[:500]])],
+        "site_id string, url_hash long",
     )
     assert C.cuckoo_flag(cand, filters, N_BUCKETS).filter(
         ~F.col("maybe_seen")
