@@ -1068,37 +1068,12 @@ def warc_bench() -> None:
     marker = os.path.join(warcdir, "_done")
 
     if not os.path.exists(marker):
-        os.makedirs(warcdir, exist_ok=True)
-        from crawler_spark.sources.warc import write_warc
+        from crawler_spark.sources.warc import export_warc
 
         spark = build("local[16]", shuffle=32)
         try:
-            pages = spark.read.parquet(f"{corpus}/pages.parquet").repartition(32)
-
-            def dump(batches):
-                import uuid
-                from datetime import timezone
-
-                name = f"{warcdir}/part-{uuid.uuid4().hex}.warc.gz"
-                written = 0
-
-                def recs():
-                    nonlocal written
-                    for pdf in batches:
-                        for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                            written += 1
-                            yield (
-                                str(u),
-                                t.to_pydatetime().replace(tzinfo=timezone.utc),
-                                bytes(h),
-                            )
-
-                write_warc(name, recs())
-                yield pd.DataFrame({"path": [name], "n": [written]})
-
-            pages.select("url", "warc_ts", "html").mapInPandas(
-                dump, "path string, n long"
-            ).collect()
+            pages = spark.read.parquet(f"{corpus}/pages.parquet")
+            export_warc(pages, warcdir, gzipped=True, n_files=32)
             with open(marker, "w") as f:
                 f.write("ok")
         finally:
@@ -1141,6 +1116,49 @@ def warc_bench() -> None:
     )
 
 
+def warc_export_bench() -> None:
+    """WARC-sink throughput: time export_warc writing the bench corpus
+    out as Common-Crawl-layout .warc.gz archives at BENCH_WARC_CPUS
+    (default 8). One JSON line; evidence in BENCH/WARC.md."""
+    import shutil
+    import tempfile
+
+    n_pages = int(os.environ.get("BENCH_PAGES", "400000"))
+    page_scale = int(os.environ.get("BENCH_PAGE_SCALE", "24"))
+    cpus = int(os.environ.get("BENCH_WARC_CPUS", "8"))
+    corpus = _corpus(n_pages, page_scale)
+
+    from crawler_spark.sources.warc import export_warc
+
+    outdir = tempfile.mkdtemp(prefix="crawler_spark_warc_export_")
+    spark = build(f"local[{cpus}]", shuffle=cpus)
+    try:
+        pages = spark.read.parquet(f"{corpus}/pages.parquet")
+        t0 = time.time()
+        manifest = export_warc(pages, outdir, gzipped=True, n_files=cpus * 4)
+        sec = time.time() - t0
+    finally:
+        spark.stop()
+        shutil.rmtree(outdir, ignore_errors=True)
+    rows = sum(m["n_records"] for m in manifest)
+    gz = sum(m["n_bytes"] for m in manifest)
+    print(
+        json.dumps(
+            {
+                "metric": "warc_export_sec",
+                "value": round(sec, 2),
+                "unit": "sec",
+                "cpus": cpus,
+                "rows": rows,
+                "files": len(manifest),
+                "archive_mb": round(gz / 1e6, 1),
+                "rows_per_sec": round(rows / sec, 1),
+                "archive_mb_per_sec": round(gz / 1e6 / sec, 1),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -1154,6 +1172,8 @@ if __name__ == "__main__":
         longrun()
     elif "--filter-read" in sys.argv:
         filter_read()
+    elif "--warc-export" in sys.argv:
+        warc_export_bench()
     elif "--warc" in sys.argv:
         warc_bench()
     else:

@@ -61,7 +61,11 @@ def fetch_one(
             ctype = resp.headers.get("Content-Type") or ""
             if "text/html" not in ctype:
                 return None
-            return resp.read(max_bytes)
+            # oversize pages are SKIPPED, not truncated — a cut-off body
+            # would silently extract wrong text/links; this matches the
+            # WARC source's max_bytes keep-rule (sources/warc.py)
+            body = resp.read(max_bytes + 1)
+            return None if len(body) > max_bytes else body
     except Exception:
         # non-200 raised as HTTPError, timeouts, refused connections,
         # DNS failures: all map to "page not fetched" (reference behavior:
@@ -81,7 +85,13 @@ def fetch_binary_one(
     keeps only successful responses (redirects followed), the body is
     streamed REGARDLESS of content type (attachments are pdf/docx/hwp/…),
     any exception maps to a skipped attachment. Content type comes from
-    the response header with the reference's octet-stream fallback."""
+    the response header with the reference's octet-stream fallback.
+
+    Unlike ``fetch_one``, an oversize body is TRUNCATED at ``max_bytes``
+    rather than skipped: robots.txt consumers are required to parse the
+    first 500 KiB of an arbitrarily large file (RFC 9309 §2.5), and a
+    truncated attachment fails its format parser and lands in the
+    failed-attachments path instead of corrupting output."""
     import urllib.request
 
     req = urllib.request.Request(url, headers={"User-Agent": user_agent})

@@ -332,6 +332,7 @@ def export_warc(
     out_dir: str,
     gzipped: bool = True,
     n_files: int | None = None,
+    compresslevel: int = 6,
 ) -> "list":
     """Distributed WARC sink: pages-shaped rows → Common-Crawl-layout
     archives under ``out_dir``; the inverse of ``read_warc``
@@ -354,6 +355,9 @@ def export_warc(
       on POSIX/HDFS; copy-on-move object stores get last-writer-wins).
     * Rows with NULL html carry no archivable payload and are skipped
       (counted nowhere — filter upstream to audit them).
+    * ``compresslevel`` defaults to 6: at archive scale gzip CPU is the
+      sink's bottleneck, and level 9 costs ~2× the CPU of 6 for a
+      low-single-digit-% size win on HTML.
 
     The manifest is collected on the driver — it is O(n_files), not
     O(rows)."""
@@ -384,10 +388,11 @@ def export_warc(
                         head = _warcinfo_record(
                             rec.split(b"WARC-Date: ", 1)[1].split(b"\r\n", 1)[0].decode()
                         )
-                        head = gzip.compress(head) if gzipped else head
+                        if gzipped:
+                            head = gzip.compress(head, compresslevel)
                         out.write(head)
                         n_bytes += len(head)
-                    body = gzip.compress(rec) if gzipped else rec
+                    body = gzip.compress(rec, compresslevel) if gzipped else rec
                     out.write(body)
                     n += 1
                     n_bytes += len(body)

@@ -127,6 +127,13 @@ def test_fetch_one_keep_rules(server):
     assert fetch_one(f"{server}/plain") is None              # wrong content-type
     assert fetch_one(f"{server}/slow", timeout_s=0.3) is None  # timeout
     assert fetch_one("http://127.0.0.1:1/x", timeout_s=0.5) is None  # refused
+    # oversize body is SKIPPED (WARC-source keep-rule parity), not
+    # truncated into silently-wrong extraction input
+    assert fetch_one(f"{server}/", max_bytes=4) is None
+    assert fetch_one(f"{server}/", max_bytes=len(PAGES["/"][2])) == PAGES["/"][2]
+    # attachments/robots keep the truncating read (RFC 9309 500 KiB parse)
+    body, _ = fetch_binary_one(f"{server}/plain", max_bytes=4)
+    assert body == PAGES["/plain"][2][:4]
 
 
 def test_http_fetch_operator_alignment_and_nulls(spark, server):
