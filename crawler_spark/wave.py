@@ -160,6 +160,12 @@ class CrawlConfig:
     # kwargs passed through to operators.fetch.http_fetch
     # (timeout_s, max_concurrency, per_host, user_agent, max_bytes)
     http_opts: dict | None = None
+    # archive every successfully fetched page of every wave as
+    # Common-Crawl-layout WARC under this directory (wave-{N:05d}/
+    # subdirs, sources/warc.export_warc) — how a production crawl
+    # produces the corpus it later re-ingests. http fetch mode only
+    # (a simulated crawl's pages table IS the archive already).
+    warc_out: str | None = None
     # politeness rules source: 'table' (a provided robots DataFrame —
     # deterministic, the parity oracle) or 'http' (fetch + parse each
     # distinct seed host's /robots.txt at init, operators/robots.py)
@@ -861,6 +867,7 @@ class CrawlEngine:
             return {"wave": w, "done": False, "fetched": 0, "batch": 0}
 
         # --- fetch ---------------------------------------------------------
+        fetch_cache = None
         if cfg.fetch_mode == "http":
             # Production network fetch: mapInPandas over the batch, hash-
             # partitioned on url_hash so requests spread across executors;
@@ -871,6 +878,25 @@ class CrawlEngine:
                 batch.repartition(cfg.n_buckets, F.col("url_hash")),
                 **(cfg.http_opts or {}),
             )
+            if cfg.warc_out:
+                # Archive the wave's fetched pages (S4's raw-bytes twin).
+                # The persist is what makes this free: the export action
+                # fills the cache (each page is GET once, here) and the
+                # extract stage below reads the cached bytes. warc_ts is
+                # the export action's timestamp — wave-granular, truthful
+                # for a live fetch (the GETs run inside this very job).
+                from crawler_spark.sources.warc import export_warc
+
+                fetched = fetch_cache = fetched.persist()
+                export_warc(
+                    fetched.filter(F.col("_html").isNotNull()).select(
+                        F.col("canonical_url").alias("url"),
+                        F.current_timestamp().alias("warc_ts"),
+                        F.col("_html").alias("html"),
+                    ),
+                    f"{cfg.warc_out}/wave-{w:05d}",
+                    n_files=cfg.n_buckets,
+                )
         else:
             # Simulated web: lookup in the pages table.
             # Co-partitioned join against the pre-bucketed pages cache:
@@ -1267,6 +1293,8 @@ class CrawlEngine:
         if att_payloads is not None:
             for h in att_payloads:
                 h.unpersist()
+        if fetch_cache is not None:
+            fetch_cache.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
     def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):

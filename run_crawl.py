@@ -44,6 +44,9 @@ def main() -> int:
     ap.add_argument("--robots", choices=["table", "http"], default="table",
                     help="politeness rules source: robots.parquet in --corpus (table) "
                          "or live /robots.txt fetch per seed host (http)")
+    ap.add_argument("--warc-out", default=None, metavar="DIR",
+                    help="archive every live-fetched page as Common-Crawl-"
+                         "layout WARC under DIR/wave-N (requires --fetch http)")
     ap.add_argument("--warc", default=None, metavar="DIR",
                     help="read the pages table from a directory of Common-Crawl "
                          ".warc/.warc.gz archives instead of pages.parquet "
@@ -69,6 +72,9 @@ def main() -> int:
         ap.error("--warc provides the pages table for the simulated fetch; "
                  "it cannot be combined with --fetch http (the WARC corpus "
                  "would be silently ignored)")
+    if args.warc_out and args.fetch != "http":
+        ap.error("--warc-out archives live-fetched pages; with the simulated "
+                 "fetch the pages table IS the archive (use --fetch http)")
 
     from crawler_spark.session import build_session
     from crawler_spark.sources import read_warc
@@ -118,6 +124,7 @@ def main() -> int:
             extractor=args.extractor,
             seen_filter_kind=args.seen_filter,
             fetch_mode=args.fetch,
+            warc_out=args.warc_out,
             robots_mode=args.robots,
             sitemap_seeding=args.sitemaps,
             attachments=args.attachments,

@@ -291,6 +291,7 @@ def test_http_crawl_matches_simulated_crawl(spark, server, tmp_path_factory):
     ]
     pages_df = spark.createDataFrame(html_pages, "url string, html binary")
 
+    warc_out = str(tmp_path_factory.mktemp("warc_out"))
     http_eng = CrawlEngine(
         spark,
         str(tmp_path_factory.mktemp("http_crawl")),
@@ -299,6 +300,7 @@ def test_http_crawl_matches_simulated_crawl(spark, server, tmp_path_factory):
         config=CrawlConfig(
             mode="fifo", batch_size=10, metrics=False,
             fetch_mode="http", http_opts={"timeout_s": 5.0},
+            warc_out=warc_out,
         ),
     )
     http_hist = http_eng.run(max_waves=10)
@@ -331,3 +333,28 @@ def test_http_crawl_matches_simulated_crawl(spark, server, tmp_path_factory):
     }
     assert states.get(f"{server}/missing") == "failed"
     assert len(http_hist) >= 2
+    # warc_out archived every successfully fetched page (raw wire bytes),
+    # per-wave subdirs, and the archives re-ingest through read_warc
+    import os
+
+    from crawler_spark.sources.warc import read_warc
+
+    waves = sorted(d for d in os.listdir(warc_out) if d.startswith("wave-"))
+    assert len(waves) >= 2  # multi-wave crawl → one archive dir per wave
+    archived = {
+        r["url"]: bytes(r["html"])
+        for r in read_warc(spark, f"{warc_out}/wave-*").collect()
+    }
+    expected = {
+        f"{server}{p}": bytes(body)
+        for p, (status, ctype, body) in PAGES.items()
+        if status == 200 and "text/html" in ctype and f"{server}{p}" in crawled
+    }
+    for url, body in expected.items():
+        assert archived.get(url) == body
+    # nothing beyond fetched html landed in the archive
+    assert set(archived) <= {
+        f"{server}{p}"
+        for p, (status, ctype, _) in PAGES.items()
+        if status == 200 and "text/html" in ctype
+    }
