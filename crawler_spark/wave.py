@@ -888,6 +888,9 @@ class CrawlEngine:
                 from crawler_spark.sources.warc import export_warc
 
                 fetched = fetch_cache = fetched.persist()
+                # n_files=None: reuse the fetch's n_buckets hash
+                # partitioning — an explicit n_files would re-shuffle
+                # the page bytes; empty partitions produce no file
                 export_warc(
                     fetched.filter(F.col("_html").isNotNull()).select(
                         F.col("canonical_url").alias("url"),
@@ -895,7 +898,6 @@ class CrawlEngine:
                         F.col("_html").alias("html"),
                     ),
                     f"{cfg.warc_out}/wave-{w:05d}",
-                    n_files=cfg.n_buckets,
                 )
         else:
             # Simulated web: lookup in the pages table.
