@@ -2,6 +2,7 @@
 
 from crawler_spark.sources.warc import (  # noqa: F401
     export_warc,
+    latest_captures,
     read_warc,
     write_warc,
 )

@@ -146,9 +146,24 @@ def _http_html_payload(body: bytes) -> bytes | None:
     return payload
 
 
+# wire-record slack over max_bytes: the embedded HTTP response head
+# (status line + headers) rides inside the WARC record's Content-Length,
+# so the pre-read length guard must admit payloads of exactly max_bytes
+# plus a bounded head — otherwise a page the fetcher's identical
+# keep-rule KEPT (len(body) == max_bytes, operators/fetch.py) would be
+# archived by export_warc and then silently dropped on re-ingest. 16 KiB
+# covers real-world response heads; the decoded payload is still checked
+# against max_bytes exactly after HTTP decode.
+_HTTP_HEAD_SLACK = 16 * 1024
+
+
 def iter_warc_records(stream, max_bytes: int = 10 * 2**20):
     """Yield (url, warc_ts, html) from one WARC byte stream.
 
+    ``max_bytes`` bounds the DECODED html payload (matching the HTTP
+    fetcher's keep-rule, so archive → re-ingest keeps exactly the pages
+    the fetch kept); records whose wire form exceeds it by more than a
+    bounded HTTP-head allowance are streamed past without materializing.
     Pure Python + stdlib so it is unit-testable without Spark; the
     distributed path maps it over files. Stops (without raising) at EOF
     or the first structurally damaged record."""
@@ -168,7 +183,7 @@ def iter_warc_records(stream, max_bytes: int = 10 * 2**20):
         keep = (
             headers.get("warc-type") == "response"
             and "warc-target-uri" in headers
-            and length <= max_bytes
+            and length <= max_bytes + _HTTP_HEAD_SLACK
         )
         if keep:
             body = stream.read(length)
@@ -189,7 +204,9 @@ def iter_warc_records(stream, max_bytes: int = 10 * 2**20):
         if body is None:
             continue
         payload = _http_html_payload(body)
-        if payload is None:
+        if payload is None or len(payload) > max_bytes:
+            # the exact keep-rule bound, applied post-decode so chunked/
+            # compressed wire forms are judged by what they decode to
             continue
         raw_ts = headers.get("warc-date", "").replace("Z", "+00:00")
         try:
@@ -215,12 +232,18 @@ def read_warc(
     Listing + partition planning ride Spark's binaryFile source (paths
     only — contents are never loaded into rows); each task streams its
     files through ``iter_warc_records`` and yields ``batch_rows``-sized
-    Arrow batches. ``text``/``lang`` are NULL (extraction products)."""
+    Arrow batches. ``text``/``lang`` are NULL (extraction products).
+    Listing recurses into subdirectories (``export_warc`` lays out one
+    ``wave-N/`` dir per wave, and Common Crawl segments its crawls the
+    same way) and skips ``*.inprogress`` temporaries a killed export
+    task may have left behind."""
     paths = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path")
+        .filter(~F.col("path").endswith(".inprogress"))
     )
     n_files = paths.count()
     n_parts = max(1, (n_files + files_per_partition - 1) // files_per_partition)
@@ -264,18 +287,48 @@ def read_warc(
     return paths.mapInPandas(gen, schemas.PAGES)
 
 
-def _response_record(url: str, ts, html: bytes) -> bytes:
-    """One spec-compliant response record (WARC header + embedded HTTP)."""
+def latest_captures(pages: DataFrame) -> DataFrame:
+    """One row per url — the LATEST capture wins (max warc_ts; ties break
+    on the raw bytes so the pick is deterministic, never first-row-wins).
+
+    Real WARC collections capture the same url many times (Common Crawl
+    re-crawls across segments and monthly crawls; this engine's own
+    per-wave ``--warc-out`` archives re-capture a url once per site that
+    reaches it). The engine's simulated fetch is an equi-join against
+    the pages table, so duplicate urls FAN OUT: one selected frontier
+    row becomes N fetch rows, which triples terminal frontier versions,
+    duplicates crawled rows, and inflates fetch metrics. Apply this at
+    the ingest boundary (``run_crawl --warc`` does) — one groupBy at
+    init, amortized over every wave, instead of forcing a 10^10-row
+    dedup inside the engine for the common already-unique case."""
+    cols = [c for c in pages.columns if c != "url"]
+    return (
+        pages.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", *[c for c in cols if c != "warc_ts"])).alias("_s"))
+        .select("url", *[F.col(f"_s.{c}").alias(c) for c in cols])
+    )
+
+
+def _warc_ts_str(ts) -> str:
+    """Timestamp → WARC-Date string (UTC, second precision)."""
+    if ts.tzinfo is None:
+        # Spark timestamps arrive in pandas as tz-naive instants in the
+        # session timezone (UTC for this engine) — stamp, don't shift
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _response_record(url: str, ts_s: str, html: bytes) -> bytes:
+    """One spec-compliant response record (WARC header + embedded HTTP).
+    ``ts_s`` is a preformatted WARC-Date string (``_warc_ts_str``)."""
+    # a CR/LF inside the url would terminate the header line early and
+    # inject arbitrary WARC headers — strip, never emit
+    url = url.replace("\r", "").replace("\n", "")
     http = (
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
         + b"Content-Length: " + str(len(html)).encode() + _SEP
         + html
     )
-    if ts.tzinfo is None:
-        # Spark timestamps arrive in pandas as tz-naive instants in the
-        # session timezone (UTC for this engine) — stamp, don't shift
-        ts = ts.replace(tzinfo=timezone.utc)
-    ts_s = ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
     return (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
@@ -314,7 +367,7 @@ def write_warc(path: str, records, gzipped: bool | None = None) -> None:
         gzipped = path.endswith(".gz")
     with open(path, "wb") as f:
         for url, ts, html in records:
-            rec = _response_record(url, ts, html)
+            rec = _response_record(url, _warc_ts_str(ts), html)
             f.write(gzip.compress(rec) if gzipped else rec)
 
 
@@ -349,22 +402,37 @@ def export_warc(
       ``pyarrow.fs.FileSystem.from_uri`` — the same abstraction the
       reader uses — so local dirs, ``hdfs://`` and ``s3://`` all work
       from executors.
-    * **Task-retry safe.** Tasks write ``*.inprogress`` then move to the
-      deterministic final name, so a retried task overwrites its own
-      partial output instead of duplicating records (rename is atomic
-      on POSIX/HDFS; copy-on-move object stores get last-writer-wins).
-    * Rows with NULL html carry no archivable payload and are skipped
-      (counted nowhere — filter upstream to audit them).
+    * **Task-retry safe.** Tasks write an attempt-unique ``*.inprogress``
+      then move to the deterministic final name, so retried/speculative
+      attempts never interleave into one file and the last mover wins
+      (rename is atomic on POSIX/HDFS; copy-on-move object stores get
+      last-writer-wins). A failing attempt deletes its partial tmp, and
+      ``read_warc`` skips ``*.inprogress`` regardless (crash backstop).
+    * Rows with NULL html (no archivable payload) or NULL warc_ts (no
+      truthful WARC-Date) are skipped (counted nowhere — filter
+      upstream to audit them).
     * ``compresslevel`` defaults to 6: at archive scale gzip CPU is the
       sink's bottleneck, and level 9 costs ~2× the CPU of 6 for a
       low-single-digit-% size win on HTML.
 
     The manifest is collected on the driver — it is O(n_files), not
     O(rows)."""
-    cols = df.filter(F.col("html").isNotNull()).select("url", "warc_ts", "html")
+    # NULL html has no archivable payload; NULL warc_ts has no truthful
+    # WARC-Date to stamp (and NaT cannot format) — both are skipped the
+    # same way: filter upstream to audit them
+    cols = df.filter(
+        F.col("html").isNotNull() & F.col("warc_ts").isNotNull()
+    ).select("url", "warc_ts", "html")
     if n_files is not None:
         cols = cols.repartition(max(1, int(n_files)))
     ext = ".warc.gz" if gzipped else ".warc"
+    if "://" not in out_dir:
+        # FileSystem.from_uri rejects relative paths ("URI has empty
+        # scheme"); absolutize on the DRIVER so executor tasks with a
+        # different cwd still agree on the destination
+        import os
+
+        out_dir = os.path.abspath(out_dir)
 
     def gen(batches):
         from pyarrow.fs import FileSystem
@@ -381,22 +449,34 @@ def export_warc(
         try:
             for pdf in batches:
                 for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                    rec = _response_record(str(url), ts, bytes(html))
+                    ts_s = _warc_ts_str(ts)
+                    rec = _response_record(str(url), ts_s, bytes(html))
                     if out is None:  # defer creation: empty task → no file
                         fs.create_dir(base, recursive=True)  # idempotent
-                        out = fs.open_output_stream(tmp_rel, compression=None)
-                        head = _warcinfo_record(
-                            rec.split(b"WARC-Date: ", 1)[1].split(b"\r\n", 1)[0].decode()
-                        )
+                        head = _warcinfo_record(ts_s)
                         if gzipped:
                             head = gzip.compress(head, compresslevel)
+                        out = fs.open_output_stream(tmp_rel, compression=None)
                         out.write(head)
                         n_bytes += len(head)
                     body = gzip.compress(rec, compresslevel) if gzipped else rec
                     out.write(body)
                     n += 1
                     n_bytes += len(body)
-        finally:
+        except BaseException:
+            # a dead attempt must not leave its partial file behind:
+            # read_warc's listing would pick the orphan up (duplicate or
+            # garbage records). The retry writes its own attempt-unique
+            # tmp, so deleting ours races nothing.
+            if out is not None:
+                out.close()
+                try:
+                    fs.delete_file(tmp_rel)
+                except OSError:
+                    pass  # cleanup is best-effort; the listing filter
+                    # on *.inprogress is the backstop
+            raise
+        else:
             if out is not None:
                 out.close()
         if out is not None:

@@ -268,6 +268,12 @@ class CrawlEngine:
         # and cached: every wave's fetch join is then co-partitioned and
         # never re-shuffles the (huge) pages side — the parquet stand-in
         # for an Iceberg storage-partitioned join on bucket(url_hash).
+        # CONTRACT: one row per url. The fetch is an equi-join, so a
+        # duplicated url fans one selected frontier row out into N fetch
+        # rows (duplicate crawled/terminal rows, inflated metrics). WARC
+        # collections DO capture urls repeatedly — dedup at the ingest
+        # boundary (sources.latest_captures; run_crawl --warc applies it)
+        # rather than forcing a full-table groupBy here on every init.
         # In http fetch mode there is no pages table: the fetch stage is
         # the real network (operators/fetch.py) behind the same interface.
         if pages is None:

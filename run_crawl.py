@@ -77,7 +77,7 @@ def main() -> int:
                  "fetch the pages table IS the archive (use --fetch http)")
 
     from crawler_spark.session import build_session
-    from crawler_spark.sources import read_warc
+    from crawler_spark.sources import latest_captures, read_warc
     from crawler_spark.wave import CrawlConfig, CrawlEngine
 
     spark = build_session(app_name="run_crawl", master=args.master)
@@ -107,7 +107,11 @@ def main() -> int:
         pages=(
             None
             if args.fetch == "http"
-            else read_warc(spark, args.warc) if args.warc else t("pages")
+            # archives capture a url many times; the simulated-fetch
+            # join needs one row per url (latest capture wins)
+            else latest_captures(read_warc(spark, args.warc))
+            if args.warc
+            else t("pages")
         ),
         seeds=t("seeds"),
         robots=None if args.robots == "http" else opt("robots"),

@@ -210,3 +210,111 @@ def test_export_warc_uncompressed_single_file(spark, tmp_path):
     assert manifest[0]["n_records"] == 2
     got = {r["url"] for r in read_warc(spark, str(tmp_path)).collect()}
     assert got == {"https://a.example/1", "https://a.example/2"}
+
+
+def test_read_warc_recursive_and_inprogress(spark, tmp_path):
+    """The reader recurses into per-wave subdirectories (export_warc's
+    --warc-out layout, and Common Crawl's segment layout) and skips
+    *.inprogress temporaries a killed export attempt left behind —
+    otherwise crawl → --warc-out → --warc would silently yield an empty
+    (or duplicated) corpus."""
+    w0 = tmp_path / "wave-00000"
+    w1 = tmp_path / "wave-00001"
+    w0.mkdir()
+    w1.mkdir()
+    write_warc(str(w0 / "part-00000.warc"), [("https://a/1", TS, b"<html>one</html>")])
+    write_warc(str(w1 / "part-00000.warc.gz"), [("https://a/2", TS, b"<html>two</html>")])
+    # a stale tmp whose records would double-count if listed
+    write_warc(
+        str(w0 / "part-00001.warc.7.inprogress"),
+        [("https://a/1", TS, b"<html>one</html>")],
+    )
+    got = sorted(r["url"] for r in read_warc(spark, str(tmp_path)).collect())
+    assert got == ["https://a/1", "https://a/2"]
+
+
+def test_export_warc_relative_outdir_and_null_ts(spark, tmp_path, monkeypatch):
+    """A relative out_dir is absolutized on the driver (FileSystem.from_uri
+    rejects scheme-less relative paths), and NULL-warc_ts rows are skipped
+    like NULL-html rows instead of crashing the task on NaT."""
+    from crawler_spark.sources.warc import export_warc
+
+    monkeypatch.chdir(tmp_path)
+    df = spark.createDataFrame(
+        [
+            ("https://a/1", TS, b"<html>x</html>"),
+            ("https://a/null-ts", None, b"<html>y</html>"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    manifest = export_warc(df, "rel/warc_out", n_files=1)
+    assert sum(m["n_records"] for m in manifest) == 1
+    got = [r["url"] for r in read_warc(spark, str(tmp_path / "rel/warc_out")).collect()]
+    assert got == ["https://a/1"]
+
+
+def test_iter_warc_max_bytes_is_the_decoded_payload_bound():
+    """max_bytes bounds the DECODED html payload exactly — a page the
+    fetcher's keep-rule kept at len(body) == max_bytes survives the
+    archive → re-ingest round trip (the wire record is bigger by the
+    embedded HTTP head), one byte over is dropped, and a compressed
+    wire form is judged by what it decodes to."""
+    mb = 2048
+    body = b"x" * mb
+    edge = _record("response", "https://h/edge", _http(200, "text/html", body))
+    assert [u for u, _, h in iter_warc_records(io.BytesIO(edge), max_bytes=mb)] == [
+        "https://h/edge"
+    ]
+    over = _record("response", "https://h/over", _http(200, "text/html", body + b"y"))
+    assert list(iter_warc_records(io.BytesIO(over), max_bytes=mb)) == []
+    # gzip content-encoding that decompresses past the bound: dropped
+    gz = gzip.compress(b"z" * (mb * 4))
+    http_gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip" + SEP + gz
+    )
+    bomb = _record("response", "https://h/bomb", http_gz)
+    assert list(iter_warc_records(io.BytesIO(bomb), max_bytes=mb)) == []
+
+
+def test_response_record_strips_crlf_injection():
+    """CR/LF in a url cannot terminate the header line early and inject
+    WARC headers — the record stays parseable with the sanitized URI."""
+    from crawler_spark.sources.warc import _response_record
+
+    rec = _response_record(
+        "https://h/x\r\nWARC-Type: evil", "2024-03-01T12:00:00Z", b"<html>i</html>"
+    )
+    got = list(iter_warc_records(io.BytesIO(rec)))
+    assert len(got) == 1
+    assert got[0][0] == "https://h/xWARC-Type: evil"
+    assert bytes(got[0][2]) == b"<html>i</html>"
+
+
+def test_latest_captures_one_row_per_url(spark):
+    """Re-captured urls collapse to the LATEST capture (max warc_ts);
+    exact-ts ties break deterministically on the remaining columns, never
+    first-row-wins — the simulated fetch's one-row-per-url contract."""
+    from datetime import datetime, timezone
+
+    from crawler_spark.sources.warc import latest_captures
+
+    t0 = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    t1 = datetime(2024, 4, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [
+            ("https://a/1", t0, b"<html>old</html>", None, None),
+            ("https://a/1", t1, b"<html>new</html>", None, None),
+            ("https://a/2", t0, b"<html>aa</html>", None, None),
+            ("https://a/2", t0, b"<html>zz</html>", None, None),  # ts tie
+            ("https://a/3", t0, b"<html>only</html>", None, None),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["url"]: r for r in latest_captures(df).collect()}
+    assert sorted(got) == ["https://a/1", "https://a/2", "https://a/3"]
+    assert bytes(got["https://a/1"]["html"]) == b"<html>new</html>"
+    assert got["https://a/1"]["warc_ts"] == t1.replace(tzinfo=None)
+    # the ts tie picks the max over the remaining columns — stable
+    assert bytes(got["https://a/2"]["html"]) == b"<html>zz</html>"
+    assert set(latest_captures(df).columns) == set(df.columns)
