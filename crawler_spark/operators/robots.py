@@ -142,8 +142,10 @@ def parse_robots_txt(
                 p = _simplify_path(value)
                 if p != value:
                     wildcard_disallow = True
-                if p:
-                    disallow.add(p)
+                # a rule whose prefix before the wildcard is empty
+                # ("Disallow: *", "Disallow: *.php") widens to
+                # block-everything — dropping it would under-block
+                disallow.add(p or "/")
             elif key == "allow" and value:
                 # widening an ALLOW would under-block (it can override a
                 # disallow), so wildcard/anchored allow rules are dropped

@@ -180,6 +180,11 @@ def iter_warc_records(stream, max_bytes: int = 10 * 2**20):
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # a negative length would pass the size guard and turn the
+            # sized read into read-to-EOF, materializing the rest of the
+            # archive in memory — treat as structurally damaged
+            return
         keep = (
             headers.get("warc-type") == "response"
             and "warc-target-uri" in headers

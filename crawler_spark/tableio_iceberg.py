@@ -89,6 +89,27 @@ def iceberg_available(spark: SparkSession, catalog: str) -> bool:
 # -- pure statement builders (unit-testable without jars) ----------------
 
 
+def base_columns_sql(spec: _Spec, schema) -> str:
+    """Schema (possibly already carrying the partition column stage()
+    adds) → the BASE column list ``ddl_for`` expects. ``ddl_for`` appends
+    the partition column itself (``_b`` for engine-bucketed modes,
+    ``wave`` for REPLACE), so it must be stripped here — passing the
+    augmented schema through verbatim would declare the column twice and
+    Spark rejects the CREATE with a duplicate-column error."""
+    appended = (
+        "_b"
+        if spec.mode in (BUCKET_APPEND, BUCKET_REPLACE) and not spec.key_is_bucket
+        else "wave"
+        if spec.mode == REPLACE
+        else None
+    )
+    return ", ".join(
+        f"{f_.name} {f_.dataType.simpleString()}"
+        for f_ in schema.fields
+        if f_.name != appended
+    )
+
+
 def ddl_for(qualified: str, spec: _Spec, columns_sql: str) -> str:
     """CREATE TABLE IF NOT EXISTS statement for one engine table.
 
@@ -258,10 +279,8 @@ class IcebergTableCatalog:
         self.tables[name] = _Spec(mode, n_buckets, bucket_key, key_is_bucket)
 
     def _ensure_table(self, name: str, df: DataFrame) -> None:
-        cols = ", ".join(
-            f"{f_.name} {f_.dataType.simpleString()}" for f_ in df.schema.fields
-        )
-        self.spark.sql(ddl_for(self._q(name), self.tables[name], cols))
+        spec = self.tables[name]
+        self.spark.sql(ddl_for(self._q(name), spec, base_columns_sql(spec, df.schema)))
 
     def stage(self, name: str, df: DataFrame, wave: int, touched=None) -> None:
         """Write one table's wave delta. Unlike the parquet backend the

@@ -240,12 +240,19 @@ class CrawlEngine:
         # network. The provided-table path stays the deterministic parity
         # oracle, like fetch_mode simulated/http.
         self._robots_raw = None
+        # http_opts is sized for PAGE fetching; the robots/sitemap
+        # bootstrap keeps its own deliberately conservative limits
+        # (512 KiB robots cap, per_host=2) — forward only the keys that
+        # mean the same thing at both layers
+        _boot_opts = self._boot_opts = {
+            k: v
+            for k, v in (self.config.http_opts or {}).items()
+            if k in ("timeout_s", "user_agent", "max_concurrency")
+        }
         if self.config.robots_mode == "http" or self.config.sitemap_seeding:
             from crawler_spark.operators.robots import fetch_robots_raw
 
-            self._robots_raw = fetch_robots_raw(
-                seeds, **(self.config.http_opts or {})
-            ).persist()
+            self._robots_raw = fetch_robots_raw(seeds, **_boot_opts).persist()
         if self.config.robots_mode == "http":
             assert robots is None, (
                 "robots_mode='http' fetches rules from the live hosts; "
@@ -254,8 +261,7 @@ class CrawlEngine:
             from crawler_spark.operators.robots import robots_from_seeds
 
             self.robots_df = robots_from_seeds(
-                spark, seeds, raw=self._robots_raw,
-                **(self.config.http_opts or {}),
+                spark, seeds, raw=self._robots_raw, **_boot_opts
             ).persist()
             self.robots_df.count()  # materialize: fetch exactly once
         else:
@@ -405,11 +411,16 @@ class CrawlEngine:
             ).select(F.col("attachment_url").alias("url"), "payload")
         payloads = payloads.persist()
 
-        # persisted: blocks (→ crawled stage job) and failures (→
-        # failed_attachments stage job) both read `parsed`, and the two
-        # jobs run concurrently — without the persist each would re-run
-        # the wave's most expensive per-attachment work (PDF/DOCX parse)
+        # persisted AND materialized: blocks (→ crawled stage job) and
+        # failures (→ failed_attachments stage job) both read `parsed`,
+        # and the two stage jobs run concurrently — a lazy persist alone
+        # would let racing tasks on DIFFERENT executors each compute the
+        # unfilled partitions, fetching and parsing every attachment
+        # twice per wave. The count() fills both caches (computing
+        # `parsed` reads — and therefore caches — `payloads`) before the
+        # concurrent consumers are submitted.
         parsed = parse_attachments(payloads).persist()
+        parsed.count()
         blocks = (
             att.join(
                 parsed.withColumnRenamed("url", "attachment_url"), "attachment_url"
@@ -466,7 +477,9 @@ class CrawlEngine:
             self.spark,
             self.seeds_df,
             robots_raw=self._robots_raw,
-            **(cfg.http_opts or {}),
+            # bootstrap-safe subset only: page-level max_bytes/per_host
+            # must not override the sitemap fetcher's polite defaults
+            **self._boot_opts,
         ).withColumn("parent_seq", F.lit(1).cast("long"))
         base = self.seeds_df.select(
             "site_id",

@@ -83,9 +83,12 @@ def main() -> int:
     spark = build_session(app_name="run_crawl", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
 
-    # with --warc, pages come from the archives; the corpus dir only
-    # needs seeds (and optional robots/kb/ledger/attachments) parquet
-    needed = "seeds.parquet" if args.warc else "pages.parquet"
+    # with --warc, pages come from the archives; with --fetch http they
+    # come from the live web — either way the corpus dir only needs
+    # seeds (and optional robots/kb/ledger/attachments) parquet
+    needed = (
+        "seeds.parquet" if (args.warc or args.fetch == "http") else "pages.parquet"
+    )
     if not os.path.exists(os.path.join(args.corpus, needed)):
         os.makedirs(args.corpus, exist_ok=True)
         from crawler_spark.synthgen import generate_corpus

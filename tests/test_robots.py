@@ -106,11 +106,21 @@ Disallow:
 Allow: /a/ok
 """
     # '*' truncation widens /a*/deep -> /a; '$' drops; a leading-* rule
-    # reduces to nothing (cannot be a prefix -> dropped rather than
-    # blocking everything); empty Disallow lines are ignored; and because
-    # disallows were wildcard-simplified, the allow is dropped too (a
-    # shortened disallow could lose a longest-match it should win)
-    assert parse_robots_txt(txt, UA) == (["/a", "/page"], [], None)
+    # ("*.pdf") widens to block-everything ("/") — dropping it would
+    # under-block, violating the module's over-block-only guarantee;
+    # empty Disallow lines are ignored; and because disallows were
+    # wildcard-simplified, the allow is dropped too (a shortened disallow
+    # could lose a longest-match it should win)
+    assert parse_robots_txt(txt, UA) == (["/", "/a", "/page"], [], None)
+
+
+def test_parse_disallow_star_blocks_everything():
+    # "Disallow: *" is a common real-world block-all — it must parse to
+    # the root prefix, never be dropped (that would crawl a site that
+    # opted out entirely)
+    assert parse_robots_txt("User-agent: *\nDisallow: *\n", UA) == (["/"], [], None)
+    # "$" alone likewise widens to "/" rather than vanishing
+    assert parse_robots_txt("User-agent: *\nDisallow: $\n", UA) == (["/"], [], None)
 
 
 def test_parse_allow_rules():

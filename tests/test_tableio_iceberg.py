@@ -15,11 +15,52 @@ from crawler_spark.tableio import (
 )
 from crawler_spark.tableio_iceberg import (
     IcebergUnavailable,
+    base_columns_sql,
     ddl_for,
     iceberg_available,
     maintenance_sql,
     make_catalog,
 )
+
+
+def test_stage_schema_yields_no_duplicate_partition_column():
+    """stage() calls _ensure_table with the ALREADY-AUGMENTED frame (the
+    _b / wave column added); base_columns_sql must strip the column
+    ddl_for re-appends, or every bucketed/REPLACE table fails its first
+    CREATE with a duplicate-column error and the backend cannot
+    bootstrap."""
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    seen_aug = StructType(
+        [
+            StructField("url_hash", LongType()),
+            StructField("url", StringType()),
+            StructField("_b", IntegerType()),
+        ]
+    )
+    spec = _Spec(BUCKET_APPEND, 32)
+    sql = ddl_for("ice.crawl.seen", spec, base_columns_sql(spec, seen_aug))
+    assert sql.count("_b") == 2  # column decl + PARTITIONED BY — not 3
+    assert "_b int, _b INT" not in sql
+
+    kb_aug = StructType(
+        [StructField("site_id", StringType()), StructField("wave", IntegerType())]
+    )
+    spec = _Spec(REPLACE)
+    sql = ddl_for("ice.crawl.kb", spec, base_columns_sql(spec, kb_aug))
+    assert sql.count("wave") == 2
+
+    # key_is_bucket tables are NOT augmented: nothing may be stripped
+    filt = StructType(
+        [StructField("bucket", IntegerType()), StructField("blob", StringType())]
+    )
+    spec = _Spec(BUCKET_REPLACE, bucket_key="bucket", key_is_bucket=True)
+    assert "bucket int" in base_columns_sql(spec, filt)
+
+    # APPEND tables pass through verbatim (a user column named wave or _b
+    # on an unpartitioned table must survive)
+    spec = _Spec(APPEND)
+    assert "wave int" in base_columns_sql(spec, kb_aug)
 
 
 def test_ddl_bucketed_append_uses_identity_partition():

@@ -67,6 +67,16 @@ def test_iter_warc_damage_and_caps():
                      _http(200, "text/html", b"<html>t</html>"), ts="not-a-date")
     stream = io.BytesIO(bad_ts + ok)
     assert [u for u, _, _ in iter_warc_records(stream)] == ["https://h/a"]
+    # a NEGATIVE Content-Length would pass the size guard and turn the
+    # sized read into read-to-EOF (materializing the rest of the archive
+    # in one allocation) — it must end the damaged file instead
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://h/neg\r\nWARC-Date: 2024-03-01T12:00:00Z\r\n"
+        b"Content-Length: -1" + SEP
+    )
+    stream = io.BytesIO(neg + b"x" * (1 << 20) + ok)
+    assert list(iter_warc_records(stream, max_bytes=1024)) == []
 
 
 def test_iter_warc_wire_form_payloads():
