@@ -134,6 +134,50 @@ def q_robots_precedence(spark, sf_dir):
     )
 
 
+def q_robots_wildcards(spark, sf_dir):
+    """W3 (round-4 exact RFC 9309): ``*`` wildcard and ``$`` end-anchor
+    rule patterns honored EXACTLY (politeness.robots_filter over
+    compile_robots), longest-PATTERN precedence, ties to allow. The
+    DuckDB oracle evaluates the same fixed rule set with hand-derived
+    anchored regexes + pattern lengths — an independent transcription of
+    the RFC semantics, not a reuse of the engine's compiler."""
+    from crawler_spark.operators.politeness import robots_filter
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("w"), (F.col("doc_id") % 3).cast("string"), F.lit(".example")
+    )
+    m = F.col("doc_id") % 6
+    path = (
+        F.when(m == 0, F.concat(F.lit("/files/a"), F.col("doc_id"), F.lit(".pdf")))
+        .when(m == 1, F.concat(F.lit("/files/public/r"), F.col("doc_id"), F.lit(".pdf")))
+        .when(m == 2, F.concat(F.lit("/cgi-bin/q"), F.col("doc_id")))
+        .when(m == 3, F.lit("/page"))
+        .when(m == 4, F.concat(F.lit("/page"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/open/"), F.col("doc_id")))
+    )
+    cand = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            # wildcard disallows vs a LONGER wildcard allow (19 > 12)
+            ("w0.example", ["/files/*.pdf", "/cgi*"], ["/files/public/*.pdf"]),
+            # $ anchor + block-all '*', with a plain allow carve-out
+            ("w1.example", ["/page$", "*"], ["/open"]),
+            # w2.example has NO rules row → never blocked
+        ],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    return (
+        robots_filter(cand, rules)
+        .select("doc_id", "host", "canonical_url", "robots_blocked")
+        .orderBy("doc_id")
+    )
+
+
 def q_kb_aggregate(spark, sf_dir):
     """A1/L3: KB pattern aggregate — sum/count/round(avg,3)."""
     ev = _t(spark, sf_dir, "events")
@@ -490,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_window_rank": q_frontier_window_rank,
         "politeness_quota": q_politeness_quota,
         "robots_precedence": q_robots_precedence,
+        "robots_wildcards": q_robots_wildcards,
         "kb_aggregate": q_kb_aggregate,
         "link_filter": q_link_filter,
         "ledger_changed": q_ledger_changed,
@@ -609,6 +654,41 @@ def oracle_sql() -> dict[str, str]:
                          p -> length(p))), -1),
                      FALSE) AS robots_blocked
             FROM cand c LEFT JOIN rules r USING (host)
+            ORDER BY doc_id
+        """,
+        "robots_wildcards": """
+            WITH cand AS (
+                SELECT doc_id,
+                       'w' || (doc_id % 3) || '.example' AS host,
+                       CASE WHEN doc_id % 6 = 0 THEN '/files/a' || doc_id || '.pdf'
+                            WHEN doc_id % 6 = 1 THEN '/files/public/r' || doc_id || '.pdf'
+                            WHEN doc_id % 6 = 2 THEN '/cgi-bin/q' || doc_id
+                            WHEN doc_id % 6 = 3 THEN '/page'
+                            WHEN doc_id % 6 = 4 THEN '/page' || doc_id
+                            ELSE '/open/' || doc_id END AS path
+                FROM documents
+            )
+            SELECT doc_id, host,
+                   'https://' || host || path AS canonical_url,
+                   CASE
+                     -- w0: Disallow /files/*.pdf (12), /cgi* (5);
+                     --     Allow /files/public/*.pdf (19)
+                     WHEN host = 'w0.example' THEN
+                       greatest(
+                         CASE WHEN regexp_matches(path, '^/files/.*\\.pdf') THEN 12 ELSE -1 END,
+                         CASE WHEN regexp_matches(path, '^/cgi') THEN 5 ELSE -1 END)
+                       >
+                       CASE WHEN regexp_matches(path, '^/files/public/.*\\.pdf') THEN 19 ELSE -1 END
+                     -- w1: Disallow /page$ (6), * (1); Allow /open (5)
+                     WHEN host = 'w1.example' THEN
+                       greatest(
+                         CASE WHEN regexp_matches(path, '^/page$') THEN 6 ELSE -1 END,
+                         1)
+                       >
+                       CASE WHEN starts_with(path, '/open') THEN 5 ELSE -1 END
+                     ELSE FALSE  -- w2: no rules row
+                   END AS robots_blocked
+            FROM cand
             ORDER BY doc_id
         """,
         "kb_aggregate": """

@@ -11,25 +11,18 @@ broadcast-join filter the table-provided path uses — the provided-table
 mode stays the deterministic parity oracle, exactly like
 ``fetch_mode='simulated'`` vs ``'http'``.
 
-Parsing follows RFC 9309 where the downstream filter can honor it, and
-degrades toward OVER-blocking (the polite failure mode) where it cannot:
+Parsing follows RFC 9309 exactly:
 
 * group selection — the group(s) whose ``User-agent`` value is the
   longest case-insensitive substring match of our product token; ``*``
   groups apply only when no specific group matches; groups with the
   same chosen value are merged (RFC 9309 §2.2.1);
-* ``Disallow`` — non-empty values become path prefixes for
-  ``politeness.robots_filter``. Wildcard rules are truncated at the
-  first ``*`` and a trailing ``$`` anchor is dropped: both rewrites
-  only WIDEN the blocked set (``/a*/b`` blocks everything under
-  ``/a``; ``/page$`` also blocks ``/page2``) — never under-block;
-* ``Allow`` — plain-prefix allow rules are honored with RFC 9309
-  §2.2.2 longest-match precedence (``politeness.robots_filter``
-  compares the longest matching allow vs disallow prefix, ties to
-  allow). Wildcard/anchored allows are DROPPED rather than simplified,
-  and a file mixing wildcard disallows with allows degrades to
-  disallow-only — widening an allow (unlike a disallow) would
-  under-block, so every degradation stays on the over-blocking side;
+* ``Disallow`` / ``Allow`` — non-empty values are kept VERBATIM,
+  ``*`` wildcards and ``$`` end anchors included; the downstream
+  ``politeness.robots_filter`` honors them exactly (patterns compile
+  once per rule to JVM-side regexes, ``politeness.compile_robots``)
+  with RFC 9309 §2.2.2 longest-match precedence — the longest matching
+  pattern wins, ties go to allow;
 * ``Crawl-delay`` (de-facto standard) parses to seconds for
   ``politeness.host_quotas``;
 * an unreachable or non-200 robots.txt yields no rules (crawl allowed,
@@ -58,17 +51,6 @@ from crawler_spark.operators.fetch import (
 _DIRECTIVES = {"user-agent", "disallow", "allow", "crawl-delay"}
 
 
-def _simplify_path(value: str) -> str:
-    """Reduce a (possibly wildcarded) rule path to a plain prefix that
-    blocks a superset of what the rule blocks."""
-    star = value.find("*")
-    if star != -1:
-        value = value[:star]
-    elif value.endswith("$"):
-        value = value[:-1]
-    return value
-
-
 def parse_robots_txt(
     text: str | None, user_agent: str = DEFAULT_USER_AGENT
 ) -> tuple[list[str], list[str], float | None]:
@@ -76,9 +58,10 @@ def parse_robots_txt(
 
     Pure Python (no Spark) so the directive/group matrix is unit-testable
     directly; the distributed path wraps this in ``robots_rules``.
-    ``None``/empty text → no rules. Allow and Disallow prefixes are
-    resolved downstream by ``politeness.robots_filter``'s RFC 9309
-    longest-match precedence.
+    ``None``/empty text → no rules. Allow and Disallow patterns are kept
+    verbatim (``*``/``$`` included) and resolved downstream by
+    ``politeness.robots_filter``'s RFC 9309 longest-match precedence
+    with exact wildcard/anchor semantics.
     """
     if not text:
         return [], [], None
@@ -132,38 +115,23 @@ def parse_robots_txt(
     disallow: set[str] = set()
     allow: set[str] = set()
     delay: float | None = None
-    wildcard_disallow = False
     for agents, grules in groups:
         if chosen not in agents:
             continue
         for key, value in grules:
+            # Non-empty Disallow/Allow values are kept VERBATIM — the
+            # match layer honors * / $ exactly, so no widening/dropping
+            # rewrites are needed. An empty Disallow ("allow all") is
+            # the RFC no-op.
             if key == "disallow" and value:
-                # widening a disallow only over-blocks — safe
-                p = _simplify_path(value)
-                if p != value:
-                    wildcard_disallow = True
-                # a rule whose prefix before the wildcard is empty
-                # ("Disallow: *", "Disallow: *.php") widens to
-                # block-everything — dropping it would under-block
-                disallow.add(p or "/")
+                disallow.add(value)
             elif key == "allow" and value:
-                # widening an ALLOW would under-block (it can override a
-                # disallow), so wildcard/anchored allow rules are dropped
-                # instead of simplified — ignoring an allow only
-                # over-blocks, the polite failure mode
-                if "*" not in value and not value.endswith("$"):
-                    allow.add(value)
+                allow.add(value)
             elif key == "crawl-delay":
                 try:
                     delay = float(value)
                 except ValueError:
                     pass
-    if wildcard_disallow:
-        # A simplified (shortened) disallow can LOSE a longest-match
-        # comparison its original would have won, letting an allow
-        # under-block; files mixing wildcard disallows with allows
-        # degrade to disallow-only over-blocking instead.
-        allow = set()
     return sorted(disallow), sorted(allow), delay
 
 

@@ -268,6 +268,14 @@ class CrawlEngine:
             self.robots_df = robots if robots is not None else spark.createDataFrame(
                 [], schemas.ROBOTS
             )
+        # Rule patterns compile to their JVM match form (regexes for
+        # */$ rules) ONCE per crawl, not once per wave: the compiled dim
+        # is persisted so the per-wave robots_filter broadcast re-reads
+        # a tiny cached table instead of re-running the Python compile
+        # stage every wave.
+        from crawler_spark.operators.politeness import compile_robots
+
+        self._robots_rules = compile_robots(self.robots_df).persist()
         self._kb_seed = kb_seed
         self._ledger_seed = ledger_seed
         # The simulated web, pre-partitioned ONCE on xxhash64(url) buckets
@@ -858,7 +866,7 @@ class CrawlEngine:
 
         blocked_keys = None
         if cfg.mode == PRIORITY:
-            cand = robots_filter(cand, self.robots_df)
+            cand = robots_filter(cand, self._robots_rules)
             blocked = cand.filter("robots_blocked")
             blocked_keys = blocked.select("site_id", "url_hash")
             cand_live = cand.filter(~F.col("robots_blocked")).drop("robots_blocked")

@@ -159,8 +159,11 @@ def oracle_crawl_priority(
 
     def robots_blocked(url: str) -> bool:
         # RFC 9309 longest-match precedence (ties to allow), matching
-        # politeness.robots_filter; corpora without allow rules reduce
-        # this to the plain any-prefix disallow check
+        # politeness.robots_filter for the PLAIN-PREFIX rule tables the
+        # parity webs use (corpora without allow rules reduce to the
+        # any-prefix disallow check). Exact */$ wildcard semantics are
+        # pinned separately: test_robots.py unit tests + the
+        # hand-derived regex oracle in queries()['robots_wildcards'].
         host = urlparse(url).netloc.lower()
         r = robots.get(host)
         if not r:

@@ -96,7 +96,7 @@ Disallow: /private
     assert parse_robots_txt(separate, UA) == (["/star"], [], None)
 
 
-def test_parse_wildcard_and_anchor_over_block():
+def test_parse_wildcard_and_anchor_kept_verbatim():
     txt = """
 User-agent: *
 Disallow: /a*/deep
@@ -105,22 +105,21 @@ Disallow: *.pdf
 Disallow:
 Allow: /a/ok
 """
-    # '*' truncation widens /a*/deep -> /a; '$' drops; a leading-* rule
-    # ("*.pdf") widens to block-everything ("/") — dropping it would
-    # under-block, violating the module's over-block-only guarantee;
-    # empty Disallow lines are ignored; and because disallows were
-    # wildcard-simplified, the allow is dropped too (a shortened disallow
-    # could lose a longest-match it should win)
-    assert parse_robots_txt(txt, UA) == (["/", "/a", "/page"], [], None)
+    # wildcard/anchored rules are kept VERBATIM (the match layer honors
+    # * and $ exactly); empty Disallow lines are the RFC "allow all"
+    # no-op and are ignored
+    assert parse_robots_txt(txt, UA) == (
+        ["*.pdf", "/a*/deep", "/page$"],
+        ["/a/ok"],
+        None,
+    )
 
 
 def test_parse_disallow_star_blocks_everything():
-    # "Disallow: *" is a common real-world block-all — it must parse to
-    # the root prefix, never be dropped (that would crawl a site that
-    # opted out entirely)
-    assert parse_robots_txt("User-agent: *\nDisallow: *\n", UA) == (["/"], [], None)
-    # "$" alone likewise widens to "/" rather than vanishing
-    assert parse_robots_txt("User-agent: *\nDisallow: $\n", UA) == (["/"], [], None)
+    # "Disallow: *" is a common real-world block-all — kept verbatim; the
+    # compiled regex ^.* matches every path
+    assert parse_robots_txt("User-agent: *\nDisallow: *\n", UA) == (["*"], [], None)
+    assert parse_robots_txt("User-agent: *\nDisallow: $\n", UA) == (["$"], [], None)
 
 
 def test_parse_allow_rules():
@@ -131,9 +130,12 @@ Allow: /private/ok
 Allow: /wild*card
 Allow: /anchored$
 """
-    # plain allows kept; wildcard/anchored allows dropped (keeping them
-    # widened would under-block)
-    assert parse_robots_txt(txt, UA) == (["/private"], ["/private/ok"], None)
+    # every non-empty allow is kept verbatim, wildcard/anchored included
+    assert parse_robots_txt(txt, UA) == (
+        ["/private"],
+        ["/anchored$", "/private/ok", "/wild*card"],
+        None,
+    )
 
 
 def test_robots_filter_longest_match_precedence(spark):
@@ -167,6 +169,96 @@ def test_robots_filter_longest_match_precedence(spark):
         "https://h.example/open": False,
         "https://other.example/private/x": False,
     }
+
+
+def test_rule_to_regex_translation():
+    from crawler_spark.operators.politeness import rule_to_regex
+
+    # plain prefixes need no regex at all
+    assert rule_to_regex("/private") is None
+    assert rule_to_regex("/a.b") is None  # metachar but still a prefix
+    assert rule_to_regex("/a*/deep") == "^/a.*/deep"
+    assert rule_to_regex("/page$") == "^/page$"
+    assert rule_to_regex("*.pdf$") == r"^.*\.pdf$"
+    assert rule_to_regex("*") == "^.*"
+    assert rule_to_regex("$") == "^$"
+    # a non-terminal $ is literal
+    assert rule_to_regex("/a$b*") == r"^/a\$b.*"
+
+
+def test_robots_filter_wildcards_and_anchors(spark):
+    """Exact RFC 9309 * / $ semantics, longest-PATTERN precedence, and
+    regex-metachar escaping in the JVM match path."""
+    from crawler_spark import schemas
+    from crawler_spark.operators.politeness import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            # wildcard disallow + a longer plain allow carving it open
+            ("w.example", ["/files/*.pdf", "/cgi*"], ["/files/public/report.pdf"], None),
+            # $ anchor: blocks exactly /page, not /page2
+            ("a.example", ["/page$"], [], None),
+            # leading-* block-all with an allow carve-out
+            ("s.example", ["*"], ["/open"], None),
+            # '.' inside a wildcard rule is LITERAL after compilation
+            ("m.example", ["/a.b*"], [], None),
+        ],
+        schemas.ROBOTS,
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://w.example/files/x/doc.pdf", "w.example"),        # *.pdf hits
+            ("https://w.example/files/x/doc.txt", "w.example"),        # no rule
+            ("https://w.example/files/public/report.pdf", "w.example"),  # allow longer
+            ("https://w.example/cgi-bin/q", "w.example"),              # /cgi* hits
+            ("https://a.example/page", "a.example"),                   # anchored hit
+            ("https://a.example/page2", "a.example"),                  # anchor excludes
+            ("https://s.example/anything", "s.example"),               # * blocks
+            ("https://s.example/open/x", "s.example"),                 # allow(5) > *(1)
+            ("https://m.example/a.bXX", "m.example"),                  # literal '.' hit
+            ("https://m.example/aXbXX", "m.example"),                  # '.' not a metachar
+        ],
+        "canonical_url string, host string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_blocked"]
+        for r in robots_filter(cand, rules).collect()
+    }
+    assert got == {
+        "https://w.example/files/x/doc.pdf": True,
+        "https://w.example/files/x/doc.txt": False,
+        "https://w.example/files/public/report.pdf": False,
+        "https://w.example/cgi-bin/q": True,
+        "https://a.example/page": True,
+        "https://a.example/page2": False,
+        "https://s.example/anything": True,
+        "https://s.example/open/x": False,
+        "https://m.example/a.bXX": True,
+        "https://m.example/aXbXX": False,
+    }
+
+
+def test_robots_filter_accepts_precompiled_rules(spark):
+    from crawler_spark import schemas
+    from crawler_spark.operators.politeness import compile_robots, robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.example", ["/private"], ["/private/ok"], None)], schemas.ROBOTS
+    )
+    compiled = compile_robots(rules)
+    # idempotent: compiling a compiled table is a no-op
+    assert compile_robots(compiled) is compiled
+    cand = spark.createDataFrame(
+        [("https://h.example/private/x", "h.example"),
+         ("https://h.example/private/ok/y", "h.example")],
+        "canonical_url string, host string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_blocked"]
+        for r in robots_filter(cand, compiled).collect()
+    }
+    assert got["https://h.example/private/x"] is True
+    assert got["https://h.example/private/ok/y"] is False
 
 
 def test_robots_filter_tolerates_legacy_three_column_table(spark):
