@@ -131,10 +131,16 @@ def robots_filter(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     per URL (compilation is once per dimension row, `compile_robots`).
     Accepts the public rules table or an already-compiled one; tables
     without an ``allow`` column (older corpora) read as allow-nothing.
-    Patterns are matched against the URL path only (the canonical URL
-    carries no query string past canonicalization)."""
+    Patterns match against path + '?' + query (RFC 9309 §2.2.2 matches
+    the query string too — ``Disallow: /*?*`` is ubiquitous in the
+    wild); percent-encoding is compared verbatim (no %-normalization:
+    rules match URLs as canonicalized)."""
     r = F.broadcast(compile_robots(robots))
-    path = F.coalesce(F.parse_url(F.col("canonical_url"), F.lit("PATH")), F.lit("/"))
+    _q = F.parse_url(F.col("canonical_url"), F.lit("QUERY"))
+    path = F.concat(
+        F.coalesce(F.parse_url(F.col("canonical_url"), F.lit("PATH")), F.lit("/")),
+        F.when(_q.isNotNull(), F.concat(F.lit("?"), _q)).otherwise(F.lit("")),
+    )
 
     def longest_match(rules) -> F.Column:
         # length of the longest rule pattern matching path, -1 if none

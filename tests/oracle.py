@@ -168,7 +168,9 @@ def oracle_crawl_priority(
         r = robots.get(host)
         if not r:
             return False
-        path = urlparse(url).path or "/"
+        parts = urlparse(url)
+        # RFC 9309 matches path + '?' + query, like the engine
+        path = (parts.path or "/") + (f"?{parts.query}" if parts.query else "")
         dis = max((len(p) for p in r["disallow"] if path.startswith(p)), default=-1)
         alw = max(
             (len(p) for p in r.get("allow") or [] if path.startswith(p)), default=-1

@@ -238,6 +238,41 @@ def test_robots_filter_wildcards_and_anchors(spark):
     }
 
 
+def test_robots_filter_matches_query_string(spark):
+    """RFC 9309 patterns match path + '?' + query — `Disallow: /*?*`
+    (ubiquitous in the wild) must block parameterized URLs and nothing
+    else."""
+    from crawler_spark import schemas
+    from crawler_spark.operators.politeness import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("q.example", ["/*?*"], [], None),
+            ("p.example", ["/search?q="], [], None),
+        ],
+        schemas.ROBOTS,
+    )
+    cand = spark.createDataFrame(
+        [
+            ("https://q.example/page?sort=asc", "q.example"),  # query → blocked
+            ("https://q.example/page", "q.example"),           # no query → open
+            ("https://p.example/search?q=x", "p.example"),     # prefix incl ?
+            ("https://p.example/search", "p.example"),         # no query → open
+        ],
+        "canonical_url string, host string",
+    )
+    got = {
+        r["canonical_url"]: r["robots_blocked"]
+        for r in robots_filter(cand, rules).collect()
+    }
+    assert got == {
+        "https://q.example/page?sort=asc": True,
+        "https://q.example/page": False,
+        "https://p.example/search?q=x": True,
+        "https://p.example/search": False,
+    }
+
+
 def test_robots_filter_accepts_precompiled_rules(spark):
     from crawler_spark import schemas
     from crawler_spark.operators.politeness import compile_robots, robots_filter
