@@ -15,6 +15,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from crawler_spark.operators.robots import (
     fetch_robots,
@@ -136,6 +138,73 @@ Allow: /anchored$
         ["/anchored$", "/private/ok", "/wild*card"],
         None,
     )
+
+
+def _rfc_glob_match(rule: str, path: str) -> bool:
+    """Independent RFC 9309 matcher (classic glob scan, no regex): the
+    property-test oracle for rule_to_regex. '*' matches any sequence, a
+    terminal '$' anchors the end, everything else literal, match is
+    anchored at the path start. First segment is a required prefix,
+    middle segments match greedily left-to-right (earliest occurrence is
+    optimal — it leaves the most room for later segments), and the last
+    segment is a required suffix when anchored. Consecutive '*'s
+    collapse: an empty middle segment consumes nothing."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    segs = body.split("*")
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    if len(segs) == 1:  # no '*' at all
+        return len(path) == len(segs[0]) if anchored else True
+    for seg in segs[1:-1]:
+        if not seg:
+            continue
+        i = path.find(seg, pos)
+        if i == -1:
+            return False
+        pos = i + len(seg)
+    last = segs[-1]
+    if not anchored:
+        return last == "" or path.find(last, pos) != -1
+    if last == "":  # trailing '*' before '$' consumes any tail
+        return True
+    return path.endswith(last) and len(path) - len(last) >= pos
+
+
+@given(
+    rule=st.text(
+        alphabet=st.sampled_from(list("/ab.?*$%[](){}+-^\\|ξ")), min_size=1, max_size=12
+    ),
+    path=st.text(
+        alphabet=st.sampled_from(list("/ab.?xy$%ξ")), min_size=1, max_size=16
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_rule_to_regex_matches_independent_glob_oracle(rule, path):
+    """For arbitrary rules (regex metachars, unicode, nested wildcards)
+    the compiled regex must agree with the independent glob matcher."""
+    import re
+
+    from crawler_spark.operators.politeness import rule_to_regex
+
+    rx = rule_to_regex(rule)
+    got = (
+        path.startswith(rule) if rx is None else re.search(rx, path) is not None
+    )
+    want = _rfc_glob_match(rule, path)
+    assert got == want, (rule, path, rx, got, want)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_parse_robots_txt_total_on_arbitrary_text(txt):
+    """The parser never raises and always returns (sorted list, sorted
+    list, float|None) on arbitrary input — robots.txt in the wild is
+    frequently garbage."""
+    dis, alw, delay = parse_robots_txt(txt, UA)
+    assert dis == sorted(dis) and alw == sorted(alw)
+    assert delay is None or isinstance(delay, float)
 
 
 def test_robots_filter_longest_match_precedence(spark):
