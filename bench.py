@@ -32,9 +32,11 @@ import numpy as np
 import pandas as pd
 
 
-def _corpus(n_pages: int, page_scale: int = 1) -> str:
+def _corpus(n_pages: int, page_scale: int = 1, skew_exp: float = 1.1) -> str:
     """Generate (once, cached) the synthetic web at the bench scale."""
     d = f"/tmp/crawler_spark_bench_corpus_{n_pages}_{page_scale}"
+    if skew_exp != 1.1:
+        d += f"_sk{skew_exp}"
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
@@ -51,7 +53,7 @@ def _corpus(n_pages: int, page_scale: int = 1) -> str:
                 generate_corpus_distributed(
                     spark, d, n_pages=n_pages,
                     n_hosts=max(6, n_pages // 2000), seed=42,
-                    page_scale=page_scale,
+                    page_scale=page_scale, skew_exp=skew_exp,
                 )
             finally:
                 spark.stop()
@@ -64,17 +66,23 @@ def _corpus(n_pages: int, page_scale: int = 1) -> str:
                 n_hosts=max(6, n_pages // 2000),
                 seed=42,
                 page_scale=page_scale,
+                skew_exp=skew_exp,
             )
         open(marker, "w").write("ok")
     return d
 
 
 def run_crawl_bench(
-    spark, n_pages: int, waves: int, workdir: str, page_scale: int = 1
+    spark,
+    n_pages: int,
+    waves: int,
+    workdir: str,
+    page_scale: int = 1,
+    skew_exp: float = 1.1,
 ) -> dict:
     from crawler_spark.wave import CrawlConfig, CrawlEngine
 
-    d = _corpus(n_pages, page_scale)
+    d = _corpus(n_pages, page_scale, skew_exp)
     batch_size = max(1, n_pages // max(1, waves))
     pages = spark.read.parquet(f"{d}/pages.parquet")
     seeds = spark.read.parquet(f"{d}/seeds.parquet").limit(1)
@@ -1055,6 +1063,163 @@ def longrun() -> None:
         )
 
 
+def skew() -> None:
+    """North-rule skew evidence: mega-domain host skew must not sink the
+    per-host stages ("salted groupBy on host to break skew on
+    mega-domains" / "AQE skew handling").
+
+    Two legs, one JSON line + BENCH/SKEW.md:
+
+    * **Operator leg** — a synthetic pending frontier of N rows, twice:
+      uniform over G hosts vs one mega-host holding 70%. Measures the
+      engine's quota-enforcement top-k (`frontier.topk_per_group`, the
+      two-phase exact rank every wave runs) on both, plus the naive
+      single-window rank it replaces on the SKEWED input — the control
+      that funnels all mega-host rows through one task. Done right,
+      skewed ≈ uniform for ours while the naive control degrades; the
+      bench also asserts ours and the naive rank select the same rows.
+    * **End-to-end leg** — full crawl waves over two equal-size corpora:
+      `skew_exp` 0.0 (uniform hosts) vs 3.0 (host 0 ≈ 83% of pages),
+      same wave budget, same config. Compares wave seconds: the whole
+      pipeline (rank, fetch join, extraction, seen anti-join, commits)
+      under pathological host skew vs none.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from crawler_spark.operators.frontier import topk_per_group
+
+    n_rows = int(os.environ.get("BENCH_SKEW_ROWS", "4000000"))
+    n_hosts = int(os.environ.get("BENCH_SKEW_HOSTS", "2048"))
+    k = int(os.environ.get("BENCH_SKEW_K", "100"))
+    cpus = int(os.environ.get("BENCH_SKEW_CPUS", "8"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    n_pages = int(os.environ.get("BENCH_SKEW_PAGES", "40000"))
+    waves = int(os.environ.get("BENCH_WAVES", "4"))
+    page_scale = int(os.environ.get("BENCH_PAGE_SCALE", "8"))
+
+    spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+
+    def frontier_df(skewed: bool):
+        base = spark.range(n_rows).withColumn(
+            "_h", F.pmod(F.xxhash64("id"), F.lit(n_hosts))
+        )
+        site = F.concat(F.lit("site"), F.col("_h").cast("string"))
+        if skewed:
+            # 70% of rows land on the mega-host, rest stay uniform
+            site = F.when(
+                F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10)) < 7,
+                F.lit("mega0"),
+            ).otherwise(site)
+        return (
+            base.withColumn("site_id", site)
+            .withColumn("seq", F.col("id"))
+            .withColumn("batch_size", F.lit(k))
+            .drop("_h")
+        )
+
+    def t_ours(df) -> tuple[float, int]:
+        t0 = time.time()
+        n = (
+            topk_per_group(df, ["site_id"], [F.asc("seq")], "batch_size")
+            .filter(F.col("_rn") <= F.col("batch_size"))
+            .count()
+        )
+        return round(time.time() - t0, 3), n
+
+    def t_naive(df) -> tuple[float, int]:
+        w = Window.partitionBy("site_id").orderBy(F.asc("seq"))
+        t0 = time.time()
+        n = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("batch_size"))
+            .count()
+        )
+        return round(time.time() - t0, 3), n
+
+    ops: dict[str, list[float]] = {
+        "topk_uniform": [],
+        "topk_skewed": [],
+        "naive_window_skewed": [],
+    }
+    counts: dict[str, int] = {}
+    # untimed warm-up: JVM/codegen/shuffle-service spin-up must not be
+    # billed to whichever measurement happens to run first
+    t_ours(frontier_df(False).limit(min(n_rows, 100_000)))
+    t_naive(frontier_df(True).limit(min(n_rows, 100_000)))
+    for _ in range(rounds):
+        for name, fn, skewed in [
+            ("topk_uniform", t_ours, False),
+            ("topk_skewed", t_ours, True),
+            ("naive_window_skewed", t_naive, True),
+        ]:
+            sec, n = fn(frontier_df(skewed))
+            ops[name].append(sec)
+            counts[name] = n
+    if counts["topk_skewed"] != counts["naive_window_skewed"]:
+        raise AssertionError(
+            "skew bench correctness cross-check failed: "
+            f"{counts['topk_skewed']} != {counts['naive_window_skewed']}"
+        )
+    spark.stop()
+
+    # end-to-end leg: same engine config, only the host allocation differs
+    e2e: dict[str, dict] = {}
+    for tag, exp in [("uniform", 0.0), ("mega", 3.0)]:
+        _corpus(n_pages, page_scale, skew_exp=exp)  # generate outside timing
+        spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
+        work = tempfile.mkdtemp(prefix=f"skew_{tag}")
+        try:
+            e2e[tag] = run_crawl_bench(
+                spark, n_pages, waves, work, page_scale, skew_exp=exp
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+            spark.stop()
+
+    best = {name: min(ts) for name, ts in ops.items()}
+    out = {
+        "metric": "skew_bench",
+        "unit": "sec",
+        "n_rows": n_rows,
+        "n_hosts": n_hosts,
+        "k": k,
+        "cpus": cpus,
+        "operator_sec": best,
+        "operator_rows": counts,
+        "skew_penalty_ours": (
+            round(best["topk_skewed"] / best["topk_uniform"], 3)
+            if best["topk_uniform"]
+            else None
+        ),
+        "naive_vs_ours_skewed": (
+            round(best["naive_window_skewed"] / best["topk_skewed"], 3)
+            if best["topk_skewed"]
+            else None
+        ),
+        "e2e": {
+            tag: {
+                "wave_sec": r["wave_sec"],
+                "urls_per_sec": r["urls_per_sec"],
+                "pages_fetched": r["pages_fetched"],
+            }
+            for tag, r in e2e.items()
+        },
+        "e2e_skew_penalty": (
+            round(
+                e2e["uniform"]["urls_per_sec"] / e2e["mega"]["urls_per_sec"], 3
+            )
+            if e2e.get("mega", {}).get("urls_per_sec")
+            else None
+        ),
+        "n_pages": n_pages,
+        "waves": waves,
+    }
+    print(json.dumps(out))
+
+
 def warc_bench() -> None:
     """WARC-source throughput: shard the bench corpus into .warc.gz
     archives (once, cached) and time read_warc end-to-end at
@@ -1172,6 +1337,8 @@ if __name__ == "__main__":
         longrun()
     elif "--filter-read" in sys.argv:
         filter_read()
+    elif "--skew" in sys.argv:
+        skew()
     elif "--warc-export" in sys.argv:
         warc_export_bench()
     elif "--warc" in sys.argv:

@@ -115,9 +115,14 @@ def _sentence(rng: random.Random, ko_ratio: float) -> str:
 BRANCH = 4  # tree branching factor per page
 
 
-def _host_sizes(n_pages: int, n_hosts: int) -> list[int]:
-    """Power-law page allocation; host 0 is the mega-domain."""
-    weights = [1.0 / (i + 1) ** 1.1 for i in range(n_hosts)]
+def _host_sizes(n_pages: int, n_hosts: int, skew_exp: float = 1.1) -> list[int]:
+    """Power-law page allocation; host 0 is the mega-domain.
+
+    ``skew_exp`` is the Zipf exponent: 0.0 → uniform hosts, the 1.1
+    default → the mild web-like skew every corpus so far has used, 3.0 →
+    a pathological mega-domain holding ~80%+ of all pages (the
+    ``bench.py --skew`` stress input)."""
+    weights = [1.0 / (i + 1) ** skew_exp for i in range(n_hosts)]
     total = sum(weights)
     sizes = [max(2, int(round(n_pages * w / total))) for w in weights]
     # trim/pad to exactly n_pages
@@ -286,6 +291,7 @@ def generate_corpus(
     unchanged_every: int = 23,
     empty_every: int = 41,
     page_scale: int = 1,
+    skew_exp: float = 1.1,
 ) -> dict:
     """Write pages/seeds/robots/kb_seed/ledger_seed parquet into out_dir.
 
@@ -295,7 +301,7 @@ def generate_corpus(
     """
     rng = random.Random(seed)
     hosts = [f"mega0.example.org"] + [f"site{i}.example.org" for i in range(1, n_hosts)]
-    sizes = _host_sizes(n_pages, n_hosts)
+    sizes = _host_sizes(n_pages, n_hosts, skew_exp)
 
     base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
@@ -390,6 +396,7 @@ def generate_corpus_distributed(
     empty_every: int = 41,
     page_scale: int = 1,
     partitions: int | None = None,
+    skew_exp: float = 1.1,
 ) -> dict:
     """Spark-parallel ``generate_corpus`` for bench-scale corpora (the
     sequential generator builds every page on the driver — ~1.6 ms/page
@@ -412,7 +419,7 @@ def generate_corpus_distributed(
 
     n_hosts = n_hosts or max(6, n_pages // 2000)
     hosts = ["mega0.example.org"] + [f"site{i}.example.org" for i in range(1, n_hosts)]
-    sizes = _host_sizes(n_pages, n_hosts)
+    sizes = _host_sizes(n_pages, n_hosts, skew_exp)
     offsets = np.cumsum([0] + sizes)  # row -> host via searchsorted
     base_ts = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
