@@ -4,9 +4,10 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.frontier import assign_seq
+from crawler_spark.operators.frontier import assign_seq, topk_per_group
 
 
 def test_distributed_assign_seq_matches_window(spark):
@@ -34,6 +35,42 @@ def test_distributed_assign_seq_matches_window(spark):
     for site, start in (("a", 100), ("b", 7)):
         seqs = sorted(v for (s, *_), v in w.items() if s == site)
         assert seqs[0] == start + 1 and seqs == list(range(start + 1, start + 1 + len(seqs)))
+
+
+def test_topk_per_group_matches_naive_window_under_skew(spark):
+    """The two-phase distributed top-k must select EXACTLY the rows a
+    single per-group window rank would, on a mega-host input (one group
+    holds ~70% of rows) and with per-group k values, including k larger
+    than a small group (whole group kept) and k=0 edge groups."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(20000):
+        site = "mega0" if rng.random() < 0.7 else f"site{rng.randint(1, 30)}"
+        rows.append((site, i))
+    df = spark.createDataFrame(rows, "site_id string, seq long").repartition(16)
+    ks = [("mega0", 500)] + [
+        (f"site{i}", 0 if i == 7 else (10**6 if i == 9 else 25))
+        for i in range(1, 31)
+    ]
+    kdf = spark.createDataFrame(ks, "site_id string, batch_size long")
+    annotated = df.join(F.broadcast(kdf), "site_id")
+
+    ours = {
+        (r["site_id"], r["seq"])
+        for r in topk_per_group(annotated, ["site_id"], [F.asc("seq")], "batch_size")
+        .filter(F.col("_rn") <= F.col("batch_size"))
+        .collect()
+    }
+    w = Window.partitionBy("site_id").orderBy(F.asc("seq"))
+    naive = {
+        (r["site_id"], r["seq"])
+        for r in annotated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("batch_size"))
+        .collect()
+    }
+    assert ours == naive
+    assert sum(1 for s, _ in ours if s == "mega0") == 500
+    assert not any(s == "site7" for s, _ in ours)
 
 
 def test_distributed_assign_seq_single_parent(spark):
