@@ -509,6 +509,70 @@ def q_gate_cascade(spark, sf_dir):
     ).filter(F.col("relevance_score") >= 0.2)
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Gopher-style repetition/quality stats per document (explode +
+    map-side-combined aggs; see operators/curation.py scale notes)."""
+    from crawler_spark.operators.curation import gopher_stats
+
+    return gopher_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII count + redaction parity. The word-soup corpus carries no
+    natural PII, so the query deterministically injects an email /
+    phone / IPv4 per doc_id residue class (so counts vary 0/1) and both
+    sides redact the SAME enriched text — the hash pins that the Java
+    and RE2 regex engines agree byte-for-byte on the redaction chain."""
+    from crawler_spark.operators.curation import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 > 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 > 0,
+                F.concat(
+                    F.lit(" ip 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".42"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(enriched)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in
+    for a benchmark suite; every other doc reports how many of its
+    distinct 8-gram shingles the 'benchmark' contains (broadcast
+    semi-structure — see operators/curation.py)."""
+    from crawler_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+        k=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -558,6 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "density_extract": q_density_extract,
         "gate_cascade": q_gate_cascade,
+        "quality_gopher": q_quality_gopher,
+        "pii_redact": q_pii_redact,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -597,6 +664,110 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             SELECT asset_id, kind, n_bytes, f0
             FROM read_parquet('/root/repo/tests/fixtures/multimodal_features_sf0.01.parquet')
+        """,
+        "quality_gopher": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS w,
+                     coalesce(text, '') AS t
+              FROM documents
+            ),
+            stats AS (
+              SELECT doc_id,
+                     len(w)::BIGINT AS n_words,
+                     round(CASE WHEN len(w) > 0
+                                THEN length(regexp_replace(t, '\\s+', '', 'g'))::DOUBLE / len(w)
+                                ELSE 0.0 END, 6) AS mean_word_len,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                                              i -> array_to_string(w[i:i+1], ' '))
+                          ELSE [] END AS g2,
+                     CASE WHEN len(w) >= 3
+                          THEN list_transform(generate_series(1, len(w) - 2),
+                                              i -> array_to_string(w[i:i+2], ' '))
+                          ELSE [] END AS g3
+              FROM base
+            ),
+            t2 AS (
+              SELECT doc_id, max(c)::BIGINT AS top2, sum(c)::BIGINT AS tot2
+              FROM (SELECT doc_id, g, count(*) AS c
+                    FROM (SELECT doc_id, unnest(g2) AS g FROM stats)
+                    GROUP BY doc_id, g)
+              GROUP BY doc_id
+            ),
+            t3 AS (
+              SELECT doc_id, count(*)::BIGINT AS tot3,
+                     count(DISTINCT g)::BIGINT AS dist3
+              FROM (SELECT doc_id, unnest(g3) AS g FROM stats)
+              GROUP BY doc_id
+            ),
+            fr AS (
+              SELECT s.doc_id, s.n_words, s.mean_word_len,
+                     round(coalesce(t2.top2::DOUBLE / t2.tot2, 0.0), 6) AS frac_top2gram,
+                     round(coalesce((t3.tot3 - t3.dist3)::DOUBLE / t3.tot3, 0.0), 6) AS frac_dup3gram
+              FROM stats s
+              LEFT JOIN t2 USING (doc_id)
+              LEFT JOIN t3 USING (doc_id)
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_top2gram, frac_dup3gram,
+                   (n_words BETWEEN 40 AND 100000
+                    AND mean_word_len BETWEEN 2.0 AND 12.0
+                    AND frac_top2gram <= 0.20
+                    AND frac_dup3gram <= 0.30)::INT AS gopher_pass
+            FROM fr
+        """,
+        "pii_redact": """
+            WITH enriched AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 > 0
+                             THEN ' Contact user' || doc_id::VARCHAR || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 > 0
+                             THEN ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 > 0
+                             THEN ' ip 192.168.' || (doc_id % 256)::VARCHAR || '.42'
+                             ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text, '\\+?\\d[\\d -]{7,}\\d'))::BIGINT AS n_phones,
+                   len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ips,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g'),
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted
+            FROM enriched
+        """,
+        "decontaminate": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       CASE WHEN len(w) >= 8
+                            THEN list_transform(generate_series(1, len(w) - 7),
+                                                i -> array_to_string(w[i:i+7], ' '))
+                            WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                            ELSE [] END)) AS shingle
+              FROM base
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            rest AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+            SELECT r.doc_id,
+                   count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+                   (sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0)::INT AS contaminated
+            FROM rest r
+            LEFT JOIN bench b USING (shingle)
+            GROUP BY r.doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,226 @@
+"""Corpus-curation operators for LLM training-data pipelines — Gopher-style
+repetition/quality stats, PII redaction, and benchmark decontamination.
+
+These extend the reference's single-document quality gate
+(reference/src/crawler/high_performance_extractor.py:146-166 scores one
+page at a time) to the corpus-level curation passes a 100 TB training-data
+pipeline needs. Everything is built from JVM Column expressions plus
+explode → partial-agg shuffles keyed on (doc_id, gram) — no Python UDFs,
+no driver-side loops, and the only broadcast is the (small by
+construction) benchmark shingle set in :func:`decontaminate`.
+
+Scale notes
+-----------
+- :func:`gopher_stats` computes per-document repetition fractions with
+  ``explode`` + two map-side-combined aggregations rather than per-row
+  higher-order functions: a higher-order ``filter``-count inside one row
+  is O(distinct_grams x n_grams) per document, which blows up on
+  book-length documents, while the explode path is linear and spreads
+  one document's grams across the cluster.
+- :func:`decontaminate` broadcast-joins against the benchmark shingle
+  set. Benchmark suites are small (10^6-10^7 shingles even for a large
+  eval battery), so the corpus side never shuffles — the scan stays
+  embarrassingly parallel at 10^10 documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# thresholds adapted from Gopher (Rae et al. 2021, arXiv:2112.11446,
+# Table A1) to this engine's word-level definitions
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+GOPHER_MAX_DUP3GRAM_FRAC = 0.30
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace word array via ``\\S+`` extraction — matches Python's
+    ``str.split()`` exactly: NULL and whitespace-only text (including
+    tabs/newlines, which ``trim`` does NOT strip) yield an EMPTY array,
+    never phantom ``''`` words."""
+    return F.regexp_extract_all(
+        F.coalesce(text, F.lit("")), F.lit(r"\S+"), F.lit(0)
+    )
+
+
+def _grams_expr(n: int, words: str = "w") -> str:
+    """SQL expr: overlapping word n-grams of the ``words`` array column.
+
+    Guarded so short arrays yield array() — never a descending
+    ``sequence(1, 0)`` (Spark's sequence REVERSES when start > stop).
+    """
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def shingles_expr(k: int = 8, words: str = "w") -> str:
+    """SQL expr: word k-gram shingles; docs shorter than k words collapse
+    to a single whole-document shingle (so short docs still participate
+    in contamination checks)."""
+    return (
+        f"CASE WHEN size({words}) >= {k} THEN "
+        f"transform(sequence(1, size({words}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {k}))) "
+        f"WHEN size({words}) > 0 THEN array(concat_ws(' ', {words})) "
+        f"ELSE array() END"
+    )
+
+
+def gopher_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher-style repetition/quality stats + pass flag.
+
+    Output columns: id, n_words, mean_word_len, frac_top2gram (share of
+    2-gram occurrences taken by the most frequent 2-gram), frac_dup3gram
+    (share of 3-gram occurrences that are repeats), gopher_pass (int
+    0/1, thresholds above, evaluated on the ROUNDED fractions so an
+    independent oracle computing the same rounding agrees exactly).
+
+    Two shuffles, both keyed (id, gram) then (id) with map-side partial
+    aggregation; documents with <2 words never explode a row and are
+    restored by the left joins with 0.0 fractions.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("w"), t.alias("t")
+    )
+    n = F.size("w")
+    stats = base.select(
+        id_col,
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(
+                n > 0, F.length(F.regexp_replace("t", r"\s+", "")) / n
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_word_len"),
+    )
+    ex2 = base.select(id_col, F.explode(F.expr(_grams_expr(2))).alias("g"))
+    top2 = (
+        ex2.groupBy(id_col, "g")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("top2"), F.sum("count").alias("tot2"))
+    )
+    ex3 = base.select(id_col, F.explode(F.expr(_grams_expr(3))).alias("g"))
+    d3 = ex3.groupBy(id_col).agg(
+        F.count("g").alias("tot3"), F.countDistinct("g").alias("dist3")
+    )
+    joined = stats.join(top2, id_col, "left").join(d3, id_col, "left")
+    frac2 = F.round(
+        F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), 6
+    ).alias("frac_top2gram")
+    frac3 = F.round(
+        F.coalesce(
+            (F.col("tot3") - F.col("dist3")) / F.col("tot3"), F.lit(0.0)
+        ),
+        6,
+    ).alias("frac_dup3gram")
+    out = joined.select(id_col, "n_words", "mean_word_len", frac2, frac3)
+    gpass = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("frac_top2gram") <= GOPHER_MAX_TOP2GRAM_FRAC)
+        & (F.col("frac_dup3gram") <= GOPHER_MAX_DUP3GRAM_FRAC)
+    )
+    return out.withColumn("gopher_pass", gpass.cast("int"))
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Count and redact emails / phone numbers / IPv4 addresses.
+
+    Counts come from the ORIGINAL text; redaction is a fixed-order
+    chain (email → phone → IP) so overlapping patterns resolve
+    deterministically. The regexes avoid lookaround so Java regex
+    (Spark) and RE2 (DuckDB oracle) agree byte-for-byte. Pure Column
+    expressions — zero shuffles, zero Python. NULL text propagates to
+    NULL counts/redaction (standard SQL semantics, identical in both
+    engines); callers wanting zeros should coalesce upstream.
+    """
+    t = F.col(text_col)
+
+    def count(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        count(PII_EMAIL_RE).alias("n_emails"),
+        count(PII_PHONE_RE).alias("n_phones"),
+        count(PII_IP_RE).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct word ``k``-gram shingles appear in the benchmark set.
+
+    Output: id, n_shingles (distinct shingles in the doc), n_contaminated
+    (of those, how many occur anywhere in ``bench_df``), contaminated
+    (int 0/1). The benchmark shingle set is broadcast (small by
+    construction), so the corpus side is a scan + one (id)-keyed
+    aggregation — no corpus-sized shuffle on the shingle key.
+    Documents with empty text produce no output row (no shingles).
+    """
+
+    def doc_shingles(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col), words_col(F.col(text_col)).alias("w")
+        ).select(
+            id_col,
+            F.explode(
+                F.array_distinct(F.expr(shingles_expr(k)))
+            ).alias("shingle"),
+        )
+
+    bench = (
+        doc_shingles(bench_df)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_shingles(df).join(F.broadcast(bench), "shingle", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+    return agg.withColumn(
+        "contaminated", (F.col("n_contaminated") > 0).cast("int")
+    )

@@ -1,0 +1,180 @@
+"""Curation operators (gopher stats / PII redaction / decontamination)
+vs an independent pure-Python brute force, plus plan shape assertions.
+
+The brute force here shares NO code with crawler_spark.operators.curation
+— words via str.split(), gram counting via collections.Counter, PII via
+the stdlib re module — so agreement is evidence, not tautology.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.curation import (
+    GOPHER_MAX_DUP3GRAM_FRAC,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_TOP2GRAM_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    decontaminate,
+    gopher_stats,
+    pii_redact,
+)
+
+DOCS = [
+    (0, ""),
+    (1, "single"),
+    (2, "two words"),
+    (3, "a b c d e f g h"),  # exactly 8 words -> one 8-shingle per window
+    (4, "the the the the the the the the the the"),  # max repetition
+    (5, "alpha beta gamma delta " * 15),  # 60 words, all 2-grams repeat
+    (6, " ".join(f"w{i}" for i in range(50))),  # 50 distinct words
+    (7, "  padded   with \t odd\nwhitespace  "),
+    (8, "   \t\n  "),  # whitespace-only incl. tabs: trim() would NOT
+    # strip these — words must still be [] (caught by a hostile drive)
+    (9, None),  # NULL text behaves like empty
+]
+
+
+def brute_gopher(text: str | None) -> dict:
+    words = (text or "").split()
+    n = len(words)
+    mean_wl = round(sum(len(w) for w in words) / n, 6) if n else 0.0
+    g2 = Counter(
+        " ".join(words[i : i + 2]) for i in range(n - 1)
+    )
+    g3 = Counter(
+        " ".join(words[i : i + 3]) for i in range(n - 2)
+    )
+    tot2, tot3 = sum(g2.values()), sum(g3.values())
+    f2 = round(max(g2.values()) / tot2, 6) if tot2 else 0.0
+    f3 = round((tot3 - len(g3)) / tot3, 6) if tot3 else 0.0
+    gpass = int(
+        GOPHER_MIN_WORDS <= n <= 100_000
+        and GOPHER_MIN_MEAN_WORD_LEN <= mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+        and f2 <= GOPHER_MAX_TOP2GRAM_FRAC
+        and f3 <= GOPHER_MAX_DUP3GRAM_FRAC
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_wl,
+        "frac_top2gram": f2,
+        "frac_dup3gram": f3,
+        "gopher_pass": gpass,
+    }
+
+
+def test_gopher_stats_vs_brute_force(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_stats(df).collect()}
+    assert set(got) == {d for d, _ in DOCS}
+    for doc_id, text in DOCS:
+        exp = brute_gopher(text)
+        row = got[doc_id]
+        for k, v in exp.items():
+            assert row[k] == pytest.approx(v, abs=1e-9), (doc_id, k, row[k], v)
+    # sanity on the planted extremes
+    assert got[4]["frac_top2gram"] == 1.0 and got[4]["gopher_pass"] == 0
+    assert got[5]["frac_dup3gram"] > 0.9 and got[5]["gopher_pass"] == 0
+    assert got[6]["frac_top2gram"] == pytest.approx(round(1 / 49, 6))
+
+
+PII_CASES = [
+    (0, "mail a.b-c_d%e+f@sub.example.co.uk end", 1, 0, 0),
+    (1, "call +1-555-012-3456 now", 0, 1, 0),
+    (2, "plain 555 0123 4567 digits", 0, 1, 0),
+    (3, "host 10.0.0.1 and 192.168.255.42", 0, 0, 2),
+    (4, "x@y.io or z@w.org plus 8.8.8.8", 2, 0, 1),
+    (5, "no pii here, just words and 42", 0, 0, 0),
+    (6, "", 0, 0, 0),
+    (7, "a@b.com tel +49 30 123456 ip 127.0.0.1", 1, 1, 1),
+]
+
+
+def test_pii_redact_counts_and_text_vs_re(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, *_ in PII_CASES], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d[\d -]{7,}\d"
+    ip = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    for doc_id, text, ne, np_, ni in PII_CASES:
+        r = got[doc_id]
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (ne, np_, ni), (
+            doc_id,
+            r,
+        )
+        expected = re.sub(
+            ip,
+            "<IP>",
+            re.sub(phone, "<PHONE>", re.sub(email, "<EMAIL>", text)),
+        )
+        assert r["redacted"] == expected, (doc_id, r["redacted"], expected)
+        # redaction is complete: nothing PII-shaped survives
+        for pat in (email, phone, ip):
+            assert not re.search(pat, r["redacted"]), (doc_id, pat)
+
+
+def brute_shingles(text: str, k: int = 8) -> set[str]:
+    words = text.split()
+    if len(words) >= k:
+        return {
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        }
+    return {" ".join(words)} if words else set()
+
+
+def test_decontaminate_vs_brute_force(spark):
+    bench_docs = [(100, "b1 b2 b3 b4 b5 b6 b7 b8 b9"), (101, "short bench")]
+    corpus = [
+        (0, "b2 b3 b4 b5 b6 b7 b8 b9 tail words here on top"),  # overlaps
+        (1, "clean c1 c2 c3 c4 c5 c6 c7 c8 c9"),  # no overlap
+        (2, "short bench"),  # whole-doc shingle hits the short bench doc
+        (3, ""),  # no shingles -> no output row
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            spark.createDataFrame(corpus, ["doc_id", "text"]),
+            spark.createDataFrame(bench_docs, ["doc_id", "text"]),
+            k=8,
+        ).collect()
+    }
+    bench_set = set().union(*(brute_shingles(t) for _, t in bench_docs))
+    for doc_id, text in corpus:
+        sh = brute_shingles(text)
+        if not sh:
+            assert doc_id not in out
+            continue
+        hits = len(sh & bench_set)
+        r = out[doc_id]
+        assert r["n_shingles"] == len(sh)
+        assert r["n_contaminated"] == hits
+        assert r["contaminated"] == int(hits > 0)
+    assert out[0]["contaminated"] == 1
+    assert out[1]["contaminated"] == 0
+    assert out[2]["contaminated"] == 1
+
+
+def test_decontaminate_broadcasts_bench_side(spark):
+    """The benchmark shingle set must broadcast — a corpus-sized shuffle
+    on the shingle key is the scale failure mode this operator avoids."""
+    corpus = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc words "), F.col("id").cast("string")).alias("text"),
+    )
+    bench = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("bench text sample").alias("text")
+    )
+    df = decontaminate(corpus, bench, k=8)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan
