@@ -90,16 +90,26 @@ def gopher_stats(
     0/1, thresholds above, evaluated on the ROUNDED fractions so an
     independent oracle computing the same rounding agrees exactly).
 
-    Two shuffles, both keyed (id, gram) then (id) with map-side partial
-    aggregation; documents with <2 words never explode a row and are
-    restored by the left joins with 0.0 fractions.
+    ONE scan of the corpus (the expensive resource at 100 TB): 2-grams
+    and 3-grams explode together tagged by gram size, plus a per-doc
+    sentinel row (n=0) so zero/one-word documents still reach the
+    output without a second scan + join to restore them. One shuffle
+    chain — (id, n, gram) with map-side combine, then (id). Because the
+    first aggregation leaves one row per DISTINCT gram, dist3 is a
+    plain conditional row count, no countDistinct expand needed.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col), words_col(F.col(text_col)).alias("w"), t.alias("t")
     )
     n = F.size("w")
-    stats = base.select(
+    tagged = (
+        "concat("
+        "array(named_struct('n', 0, 'g', cast(null as string))), "
+        f"transform(({_grams_expr(2)}), x -> named_struct('n', 2, 'g', x)), "
+        f"transform(({_grams_expr(3)}), x -> named_struct('n', 3, 'g', x)))"
+    )
+    ex = base.select(
         id_col,
         n.cast("long").alias("n_words"),
         F.round(
@@ -108,19 +118,18 @@ def gopher_stats(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_word_len"),
+        F.explode(F.expr(tagged)).alias("x"),
     )
-    ex2 = base.select(id_col, F.explode(F.expr(_grams_expr(2))).alias("g"))
-    top2 = (
-        ex2.groupBy(id_col, "g")
-        .count()
-        .groupBy(id_col)
-        .agg(F.max("count").alias("top2"), F.sum("count").alias("tot2"))
+    counts = ex.groupBy(
+        id_col, "n_words", "mean_word_len", F.col("x.n").alias("gn"), "x.g"
+    ).count()
+    is2, is3 = F.col("gn") == 2, F.col("gn") == 3
+    agg = counts.groupBy(id_col, "n_words", "mean_word_len").agg(
+        F.max(F.when(is2, F.col("count"))).alias("top2"),
+        F.sum(F.when(is2, F.col("count"))).alias("tot2"),
+        F.sum(F.when(is3, F.col("count"))).alias("tot3"),
+        F.sum(F.when(is3, F.lit(1))).alias("dist3"),
     )
-    ex3 = base.select(id_col, F.explode(F.expr(_grams_expr(3))).alias("g"))
-    d3 = ex3.groupBy(id_col).agg(
-        F.count("g").alias("tot3"), F.countDistinct("g").alias("dist3")
-    )
-    joined = stats.join(top2, id_col, "left").join(d3, id_col, "left")
     frac2 = F.round(
         F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), 6
     ).alias("frac_top2gram")
@@ -130,7 +139,7 @@ def gopher_stats(
         ),
         6,
     ).alias("frac_dup3gram")
-    out = joined.select(id_col, "n_words", "mean_word_len", frac2, frac3)
+    out = agg.select(id_col, "n_words", "mean_word_len", frac2, frac3)
     gpass = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
         & (F.col("n_words") <= GOPHER_MAX_WORDS)

@@ -161,6 +161,26 @@ def test_decontaminate_vs_brute_force(spark):
     assert out[2]["contaminated"] == 1
 
 
+def test_gopher_stats_scans_source_once(spark, tmp_path):
+    """The fused explode must read the corpus ONCE — at 100 TB the scan
+    is the expensive resource, so a stats-frame + grams-frame join
+    (2-3 scans) is the regression this pins against."""
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"some text body number {i} with words") for i in range(50)],
+        ["doc_id", "text"],
+    ).write.parquet(p)
+    df = gopher_stats(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # formatted explain lists each node twice (tree + details) — count
+    # the numbered detail headers, i.e. distinct physical scan nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_decontaminate_broadcasts_bench_side(spark):
     """The benchmark shingle set must broadcast — a corpus-sized shuffle
     on the shingle key is the scale failure mode this operator avoids."""
