@@ -189,6 +189,40 @@ def pii_redact(
     )
 
 
+def curate_packets(
+    packets: DataFrame,
+    text_col: str = "extracted_text",
+    id_col: str = "packet_id",
+    redact: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Post-cascade curation over accepted packets: Gopher repetition
+    gate, then PII redaction of the surviving packet text.
+
+    Returns ``(kept, failed)`` — both with the packets schema; ``kept``
+    has ``text_col`` replaced by its redacted form when ``redact``.
+    This is the storage-side guard a training pipeline wants BEFORE
+    packets land in a sink: repetition spam out, PII never persisted.
+    Joins are keyed on the packet id — per-batch packet volumes are the
+    cascade's accepted subset, far below corpus scale.
+    """
+    g = gopher_stats(packets, text_col=text_col, id_col=id_col).select(
+        id_col, "gopher_pass"
+    )
+    joined = packets.join(g, id_col)  # inner: gopher emits every input row
+    failed = joined.filter(F.col("gopher_pass") == 0).drop("gopher_pass")
+    kept = joined.filter(F.col("gopher_pass") == 1).drop("gopher_pass")
+    if redact:
+        r = pii_redact(kept, text_col=text_col, id_col=id_col).select(
+            id_col, "redacted"
+        )
+        kept = (
+            kept.join(r, id_col)
+            .withColumn(text_col, F.col("redacted"))
+            .drop("redacted")
+        )
+    return kept, failed
+
+
 def decontaminate(
     df: DataFrame,
     bench_df: DataFrame,

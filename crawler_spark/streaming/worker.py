@@ -49,6 +49,7 @@ import os
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from crawler_spark import schemas
 from crawler_spark.operators.cascade import run_cascade
@@ -163,6 +164,7 @@ def start_stream_cascade(
     trigger: dict | None = None,
     threshold: float = 0.6,
     feedback_catalog: TableCatalog | None = None,
+    curate: bool = False,
 ):
     """Start the streaming cascade; returns the StreamingQuery.
 
@@ -198,12 +200,28 @@ def start_stream_cascade(
         # (micro-batches can span waves; a hardcoded wave would collide
         # packet_ids on re-crawled pages)
         out = run_cascade(batch_df, seeds, wave=None, threshold=threshold)
+        packets, rejected = out["packets"], out["rejected"]
+        if curate:
+            # storage-side curation guard: repetition spam never reaches
+            # the packet sink and PII is redacted BEFORE persistence
+            # (curation on the read path can't un-write a sink)
+            from crawler_spark.operators.curation import curate_packets
+
+            packets, failed = curate_packets(packets)
+            rejected = rejected.unionByName(
+                failed.select(
+                    "site_id",
+                    F.col("content_url").alias("canonical_url"),
+                    F.xxhash64("content_url").alias("url_hash"),
+                    F.lit("curation_repetition").alias("reason"),
+                )
+            )
         # idempotent per-batch sinks: a replayed batch overwrites its own
         # partition dir instead of appending duplicate rows
-        out["packets"].write.mode("overwrite").parquet(
+        packets.write.mode("overwrite").parquet(
             f"{out_dir}/packets/batch_id={batch_id}"
         )
-        out["rejected"].write.mode("overwrite").parquet(
+        rejected.write.mode("overwrite").parquet(
             f"{out_dir}/rejected/batch_id={batch_id}"
         )
         if feedback_catalog is not None:

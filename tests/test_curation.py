@@ -161,6 +161,35 @@ def test_decontaminate_vs_brute_force(spark):
     assert out[2]["contaminated"] == 1
 
 
+def test_curate_packets_routes_and_redacts(spark):
+    from crawler_spark.operators.curation import curate_packets
+
+    good = " ".join(f"unique{i} token{i}" for i in range(30))  # 60 words
+    rows = [
+        ("p0", "s0", good + " mail me at a@b.com or 10.0.0.1"),
+        ("p1", "s0", "spam " * 80),  # repetition: top-2gram frac 1.0
+        ("p2", "s0", "too short"),  # under the word floor
+        ("p3", "s1", good),
+    ]
+    packets = spark.createDataFrame(
+        rows, ["packet_id", "site_id", "extracted_text"]
+    )
+    kept, failed = curate_packets(packets)
+    kept_rows = {r["packet_id"]: r for r in kept.collect()}
+    failed_ids = {r["packet_id"] for r in failed.collect()}
+    assert set(kept_rows) == {"p0", "p3"}
+    assert failed_ids == {"p1", "p2"}
+    assert kept.columns == packets.columns  # schema preserved
+    assert "<EMAIL>" in kept_rows["p0"]["extracted_text"]
+    assert "<IP>" in kept_rows["p0"]["extracted_text"]
+    assert "a@b.com" not in kept_rows["p0"]["extracted_text"]
+    assert kept_rows["p3"]["extracted_text"] == good  # no PII -> unchanged
+    # redact=False keeps text verbatim
+    kept2, _ = curate_packets(packets, redact=False)
+    t = {r["packet_id"]: r["extracted_text"] for r in kept2.collect()}
+    assert "a@b.com" in t["p0"]
+
+
 def test_gopher_stats_scans_source_once(spark, tmp_path):
     """The fused explode must read the corpus ONCE — at 100 TB the scan
     is the expensive resource, so a stats-frame + grams-frame join

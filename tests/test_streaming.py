@@ -255,3 +255,54 @@ def test_unreadable_checkpoint_metadata_warns(tmp_path):
         warnings.simplefilter("always")
         assert _checkpoint_query_id(str(tmp_path / "nonexistent")) is None
     assert any("lineage guard is DISABLED" in str(x.message) for x in w)
+
+
+def test_stream_cascade_curation_gate(spark, corpus, tmp_path_factory):
+    """curate=True must partition the stream's packets exactly as
+    curate_packets partitions the batch cascade's packets — gopher
+    failures land in rejected as curation_repetition, survivors carry
+    redacted text — and kept ∪ failed must equal the uncurated set."""
+    from crawler_spark.operators.curation import curate_packets
+
+    d = corpus["dir"]
+    work = tmp_path_factory.mktemp("stream_curate_crawl")
+    engine = CrawlEngine(
+        spark, str(work),
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        config=CrawlConfig(mode="fifo", batch_size=20, metrics=False),
+    )
+    engine.bootstrap()
+    for _ in range(2):
+        engine.run_wave()
+
+    seeds = spark.read.parquet(f"{d}/seeds.parquet")
+    out = tmp_path_factory.mktemp("stream_curate_out")
+    ckpt = tmp_path_factory.mktemp("stream_curate_ckpt")
+    q = start_stream_cascade(
+        spark, str(work / "crawled"), seeds, str(out), str(ckpt),
+        trigger={"availableNow": True}, curate=True,
+    )
+    q.awaitTermination(timeout=300)
+    assert not q.isActive
+
+    batch_out = run_cascade(engine.cat.read("crawled"), seeds, wave=0)
+    kept_b, failed_b = curate_packets(batch_out["packets"])
+    kept_exp = {
+        r["content_url"]: r["extracted_text"] for r in kept_b.collect()
+    }
+    failed_exp = {r["content_url"] for r in failed_b.collect()}
+    all_urls = {r["content_url"] for r in batch_out["packets"].collect()}
+    assert kept_exp.keys() | failed_exp == all_urls
+
+    got = {
+        r["content_url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{out}/packets").collect()
+    }
+    assert got == kept_exp and len(got) > 0
+    rej = spark.read.parquet(f"{out}/rejected")
+    got_failed = {
+        r["canonical_url"]
+        for r in rej.filter("reason = 'curation_repetition'").collect()
+    }
+    assert got_failed == failed_exp
