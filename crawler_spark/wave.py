@@ -122,6 +122,10 @@ class CrawlConfig:
     link_cap: int = 50                # Q6 (fast_crawler_agent.py:242)
     wave_seconds: float = 20.0        # politeness budget window (priority mode)
     cascade: bool = False             # run the phase-2 filter cascade per wave
+    curate: bool = False              # gopher-gate + PII-redact packets
+    #                                   before they are committed (needs
+    #                                   cascade; same stage the streaming
+    #                                   worker runs under curate=True)
     relevance_threshold: float = 0.6
     n_buckets: int = 32               # url_hash buckets for the seen anti-join
     metrics: bool = True
@@ -1244,13 +1248,30 @@ class CrawlEngine:
             )
             stage_jobs.append(("seen_filters", filters_next, s_buckets))
         if cascade_out is not None:
+            packets_out = cascade_out["packets"]
+            rejected_out = cascade_out["rejected"]
+            if cfg.curate:
+                # storage-side curation guard, identical to the streaming
+                # worker's curate=True stage: repetition spam never lands
+                # in the packets table and PII is redacted pre-commit
+                from crawler_spark.operators.curation import curate_packets
+
+                packets_out, curation_failed = curate_packets(packets_out)
+                rejected_out = rejected_out.unionByName(
+                    curation_failed.select(
+                        "site_id",
+                        F.col("content_url").alias("canonical_url"),
+                        F.xxhash64("content_url").alias("url_hash"),
+                        F.lit("curation_repetition").alias("reason"),
+                    )
+                )
             # kb/ledger change only when the cascade ran; otherwise the
             # previous snapshots stay current (no pointless rewrite)
             stage_jobs += [
                 ("kb", kb_next, None),
                 ("ledger", cascade_out["ledger_delta"], None),
-                ("packets", cascade_out["packets"], None),
-                ("rejected", cascade_out["rejected"].withColumn("wave", F.lit(w)), None),
+                ("packets", packets_out, None),
+                ("rejected", rejected_out.withColumn("wave", F.lit(w)), None),
             ]
         if mframes:
             allm = mframes[0]

@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--wave-seconds", type=float, default=20.0)
     ap.add_argument("--cascade", action="store_true", help="run the filter cascade per wave")
+    ap.add_argument("--curate", action="store_true",
+                    help="gopher-gate + PII-redact packets before commit (needs --cascade)")
     ap.add_argument("--bloom", action="store_true", help="bloom-prefiltered seen set")
     ap.add_argument("--open-crawl", action="store_true", help="follow cross-host links")
     ap.add_argument("--extractor", choices=["selector", "density"], default="selector",
@@ -126,6 +128,7 @@ def main() -> int:
             batch_size=args.batch_size,
             wave_seconds=args.wave_seconds,
             cascade=args.cascade,
+            curate=args.curate,
             use_bloom=args.bloom,
             same_domain_only=not args.open_crawl,
             extractor=args.extractor,

@@ -166,3 +166,45 @@ def test_packet_shape(cascade_run):
         assert isinstance(r["keywords"], list) and len(r["keywords"]) <= 7
         # E16 truncation
         assert len(r["extracted_text"]) <= 503
+
+
+def test_wave_loop_curation_matches_post_hoc(cascade_run, spark, corpus, tmp_path_factory):
+    """cascade=True + curate=True must commit exactly the packets that
+    curate_packets keeps from the uncurated run, with redacted text, and
+    route the failures to rejected as curation_repetition — the batch
+    twin of the streaming worker's curate=True stage."""
+    from crawler_spark.operators.curation import curate_packets
+
+    engine_plain, _ = cascade_run
+    d = corpus["dir"]
+    work = tmp_path_factory.mktemp("cascade_curated")
+    engine = CrawlEngine(
+        spark, str(work),
+        pages=spark.read.parquet(f"{d}/pages.parquet"),
+        seeds=spark.read.parquet(f"{d}/seeds.parquet"),
+        kb_seed=spark.read.parquet(f"{d}/kb_seed.parquet"),
+        ledger_seed=spark.read.parquet(f"{d}/ledger_seed.parquet"),
+        config=CrawlConfig(
+            mode="fifo", batch_size=20, cascade=True, curate=True,
+            metrics=False,
+        ),
+    )
+    engine.run(max_waves=60)
+
+    kept_exp, failed_exp = curate_packets(engine_plain.cat.read("packets"))
+    exp = {
+        r["packet_id"]: r["extracted_text"] for r in kept_exp.collect()
+    }
+    got = {
+        r["packet_id"]: r["extracted_text"]
+        for r in engine.cat.read("packets").collect()
+    }
+    assert got == exp and len(got) > 0
+    exp_failed = {r["content_url"] for r in failed_exp.collect()}
+    got_failed = {
+        r["canonical_url"]
+        for r in engine.cat.read("rejected")
+        .filter("reason = 'curation_repetition'")
+        .collect()
+    }
+    assert got_failed == exp_failed
