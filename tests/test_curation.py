@@ -191,9 +191,11 @@ def test_curate_packets_routes_and_redacts(spark):
 
 
 def test_gopher_stats_scans_source_once(spark, tmp_path):
-    """The fused explode must read the corpus ONCE — at 100 TB the scan
-    is the expensive resource, so a stats-frame + grams-frame join
-    (2-3 scans) is the regression this pins against."""
+    """gopher_stats must read the corpus ONCE and shuffle NOTHING — at
+    100 TB the scan is the expensive resource and the row-local plan
+    needs no gram-keyed exchange at all; a stats-frame + grams-frame
+    join (2-3 scans) or a reintroduced explode → groupBy shuffle is the
+    regression this pins against."""
     p = str(tmp_path / "docs.parquet")
     spark.createDataFrame(
         [(i, f"some text body number {i} with words") for i in range(50)],
@@ -208,6 +210,7 @@ def test_gopher_stats_scans_source_once(spark, tmp_path):
     # formatted explain lists each node twice (tree + details) — count
     # the numbered detail headers, i.e. distinct physical scan nodes
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_decontaminate_broadcasts_bench_side(spark):
