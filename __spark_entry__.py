@@ -510,8 +510,8 @@ def q_gate_cascade(spark, sf_dir):
 
 
 def q_quality_gopher(spark, sf_dir):
-    """Gopher-style repetition/quality stats per document (explode +
-    map-side-combined aggs; see operators/curation.py scale notes)."""
+    """Gopher-style repetition/quality stats per document (row-local
+    sorted-gram passes, zero shuffles; see operators/curation.py)."""
     from crawler_spark.operators.curation import gopher_stats
 
     return gopher_stats(_t(spark, sf_dir, "documents"))
@@ -573,6 +573,31 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level duplicated-line removal. The
+    word-soup documents are single-line, so the query deterministically
+    appends boilerplate lines — one shared by EVERY doc, one shared per
+    doc_id%10 class — and line_dedup must keep each exactly once (first
+    (doc_id, pos) occurrence) while ineligible short lines survive
+    everywhere. Exact contract, no approximation (operators/dedup.py
+    scale notes)."""
+    from crawler_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCopyright Example Corp. All rights reserved."),
+            F.lit("\nSubscribe to the group "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" newsletter for updates."),
+            F.lit("\n- menu -"),
+        ).alias("text"),
+    )
+    return line_dedup(corpus)
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -625,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -768,6 +794,40 @@ def oracle_sql() -> dict[str, str]:
             FROM rest r
             LEFT JOIN bench b USING (shingle)
             GROUP BY r.doc_id
+        """,
+        # independent formulation: window row_number per trimmed line
+        # (DuckDB-side; the engine deliberately uses a skew-safe
+        # groupBy-min instead — same semantics, different plan)
+        "line_dedup": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || chr(10) || 'Copyright Example Corp. All rights reserved.'
+                       || chr(10) || 'Subscribe to the group ' || (doc_id % 10)
+                       || ' newsletter for updates.'
+                       || chr(10) || '- menu -' AS text
+                FROM documents
+            ), occ AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM corpus
+            ), tagged AS (
+                SELECT doc_id, pos, line,
+                       length(trim(line)) >= 15 AS eligible,
+                       row_number() OVER (PARTITION BY trim(line)
+                                          ORDER BY doc_id, pos) AS rn
+                FROM occ
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN NOT eligible OR rn = 1 THEN line END,
+                       chr(10) ORDER BY pos), '') AS text,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN eligible AND rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_removed
+            FROM tagged
+            GROUP BY doc_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

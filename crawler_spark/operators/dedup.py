@@ -346,3 +346,77 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+# --- corpus-level duplicated-line removal (C4/RefinedWeb-style) ---------------
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 15,
+) -> DataFrame:
+    """Remove lines duplicated ACROSS the corpus, keeping each line's
+    first occurrence (the C4 / RefinedWeb line-dedup pass: cookie
+    banners, copyright footers and navigation chrome recur across
+    millions of pages, and dropping repeated lines strips that
+    boilerplate without any per-site rules — the corpus-level
+    generalization of the reference's per-page quality gate,
+    reference/src/crawler/high_performance_extractor.py:146-166).
+
+    A line is dedup-ELIGIBLE only when its trimmed form is at least
+    ``min_len`` chars: short fragments ("", "-", list bullets) recur
+    naturally and are never removed. Among identical eligible lines the
+    occurrence with the smallest ``(id, line position)`` survives — a
+    total order, so the output is deterministic and exactly
+    oracle-checkable (no sampling, no hashing approximations).
+
+    Output: one row per input document (docs whose every line was
+    removed still appear, with empty text) — id, text (surviving lines
+    re-joined by newline), n_lines (original line count), n_removed.
+
+    Scale (the corpus is ~10^12 lines at 100 TB):
+
+    * First-occurrence per distinct line is ``groupBy(line).min(
+      struct(id, pos))`` — map-side combinable, so a boilerplate line
+      occurring 10^8 times collapses to one row per map partition
+      BEFORE the exchange; no hot reducer, no window-over-skewed-key.
+      (A ``row_number`` window per line — the naive formulation — sorts
+      every occurrence of the hottest line in one task.)
+    * Occurrences join first-occurrences on the line text — the
+      corpus-sized shuffle. Residual key skew on mega-boilerplate is
+      AQE skew-join territory; keying by a hash would save nothing
+      because the line text must ride the shuffle anyway for the
+      rebuild, and joining on the text itself keeps the pass EXACT (no
+      hash-collision false removals).
+    * The rebuild ``groupBy(id)`` is corpus-sized but even (keyed by
+      document, payload = that document's own lines).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    occ = (
+        df.select(F.col(id_col), F.posexplode(F.split(t, "\n")).alias("pos", "line"))
+        .withColumn("norm", F.trim(F.col("line")))
+        .withColumn("eligible", F.length("norm") >= min_len)
+    )
+    firsts = (
+        occ.filter("eligible")
+        .groupBy("norm")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"))
+    )
+    tagged = occ.join(firsts, "norm", "left").withColumn(
+        "keep",
+        ~F.col("eligible") | (F.struct(id_col, "pos") == F.col("first")),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )

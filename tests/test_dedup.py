@@ -128,3 +128,72 @@ def test_simhash_near_dups(docs):
 def test_simhash_rejects_bad_distance(docs):
     with pytest.raises(ValueError):
         dedup.simhash_pairs(docs, max_hamming=64)
+
+
+# --- corpus-level line dedup --------------------------------------------------
+
+def _line_dedup_oracle(rows, min_len=15):
+    """Independent brute force: first (id, pos) occurrence per trimmed
+    eligible line survives; short lines always survive."""
+    occ = []
+    for doc_id, text in rows:
+        for pos, line in enumerate((text or "").split("\n")):
+            occ.append((doc_id, pos, line, line.strip()))
+    first = {}
+    for doc_id, pos, line, norm in sorted(occ):
+        if len(norm) >= min_len and norm not in first:
+            first[norm] = (doc_id, pos)
+    out = {}
+    for doc_id, text in rows:
+        kept, removed, lines = [], 0, (text or "").split("\n")
+        for pos, line in enumerate(lines):
+            norm = line.strip()
+            if len(norm) >= min_len and first[norm] != (doc_id, pos):
+                removed += 1
+            else:
+                kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(lines), removed)
+    return out
+
+
+def test_line_dedup_matches_brute_force(spark):
+    boiler = "Copyright Example Corp. All rights reserved."
+    rows = [
+        (1, f"unique first line one\n{boiler}\nshort\nunique tail line one"),
+        (2, f"{boiler}\nunique first line two\n{boiler}"),  # intra-doc dup too
+        (3, "   " + boiler + "   \nshort"),  # trim-equal variant removed
+        (4, ""),  # empty doc survives as a row
+        (5, None),  # null text
+        (6, "unique first line one"),  # cross-doc dup of doc 1's line
+        (7, "short\nshort\n- menu -"),  # ineligible dups all survive
+        (8, boiler + "\n" + boiler),  # doc left with no eligible lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in dedup.line_dedup(df).collect()
+    }
+    exp = _line_dedup_oracle(rows)
+    assert got == exp
+    # the whitespace variant in doc 3 is REMOVED (trim-equal to doc 1's
+    # boilerplate) and doc 8 collapses to empty text but keeps its row
+    assert got[3][2] == 1 and got[8] == ("", 2, 2)
+
+
+def test_line_dedup_first_occurrence_is_skew_safe_agg(spark):
+    """The first-occurrence pass must be a partial-aggregable groupBy
+    (HashAggregate pair), NOT a row_number window — a window sorts every
+    occurrence of the hottest boilerplate line in one task, the exact
+    single-reducer pattern that dies at 10^8 occurrences."""
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique line for document number "),
+            F.col("id"),
+            F.lit("\nCopyright Example Corp. All rights reserved."),
+        ).alias("text"),
+    )
+    out = dedup.line_dedup(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert out.filter(F.col("n_removed") > 0).count() == 49
