@@ -346,6 +346,117 @@ def scaling() -> None:
         )
 
 
+def scaling_exec() -> None:
+    """North-rule scaling evidence with REAL separate executor JVMs.
+
+    ``local-cluster[N, cores, mem]`` launches N Worker JVMs, each
+    hosting one executor with its own heap and Python workers, wired to
+    the driver over the standalone-mode RPC — the honest single-box
+    analog of the rule's "N and 4N executors" (plain ``local[k]``
+    scales THREADS inside one shared heap, which both understates
+    scaling for allocation-heavy stages — heap/allocator contention —
+    and overstates it by skipping real executor-to-executor shuffle
+    serialization). Each executor brings its own heap, exactly as each
+    node does on a real cluster; only the memory BUS and the one local
+    disk stay shared, which a real cluster would not share.
+
+    Identical job, corpus, shuffle partitions and per-executor sizing on
+    both legs; interleaved rounds, best-of per side (shared-host noise,
+    methodology of ``scaling()``).
+    """
+    import shutil
+    import tempfile
+
+    n_pages = int(os.environ.get("BENCH_PAGES", "400000"))
+    waves = int(os.environ.get("BENCH_WAVES", "1"))
+    page_scale = int(os.environ.get("BENCH_PAGE_SCALE", "24"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    cores = int(os.environ.get("BENCH_EXEC_CORES", "2"))
+    mem_mb = int(os.environ.get("BENCH_EXEC_MEM_MB", "20480"))
+    execs = (1, 4)
+    # one shuffle-partition count on every leg: same physical plans
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", "16"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    conf = {
+        "spark.io.compression.codec": os.environ.get("BENCH_CODEC", "zstd"),
+        "spark.rdd.compress": "true",
+        # worker JVM gets mem_mb; leave the executor heap headroom
+        "spark.executor.memory": f"{mem_mb - 2048}m",
+        # executors' Python workers must import crawler_spark (the wave
+        # loop's pandas UDFs are pickled by reference); a production
+        # cluster ships dist/crawler_spark.zip via --py-files
+        # (tests/test_spark_submit.py pins that path) — the bench points
+        # the executor env at the repo instead
+        "spark.executorEnv.PYTHONPATH": repo,
+        "spark.pyspark.python": sys.executable,
+    }
+    _corpus(n_pages, page_scale)  # generate once before timing anything
+    runs: dict[int, list[dict]] = {n: [] for n in execs}
+    for _ in range(rounds):
+        for n in execs:
+            spark = build(
+                f"local-cluster[{n},{cores},{mem_mb}]",
+                shuffle=shuffle,
+                extra_conf=conf,
+            )
+            work = tempfile.mkdtemp(prefix=f"scexec{n}")
+            try:
+                runs[n].append(
+                    run_crawl_bench(spark, n_pages, waves, work, page_scale)
+                )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+                spark.stop()
+            print(
+                json.dumps(
+                    {"executors": n, "urls_per_sec": [r["urls_per_sec"] for r in runs[n]]}
+                ),
+                flush=True,
+            )
+    best = {n: max(rs, key=lambda r: r["urls_per_sec"]) for n, rs in runs.items()}
+    lo, hi = best[execs[0]]["urls_per_sec"], best[execs[1]]["urls_per_sec"]
+    eff = round((hi / lo) / 4.0, 3) if lo else 0.0
+    out = {
+        "exec1_urls_per_sec": lo,
+        "exec4_urls_per_sec": hi,
+        "speedup": round(hi / lo, 3) if lo else 0.0,
+        "efficiency_n_to_4n_executors": eff,
+        "cores_per_executor": cores,
+        "n_pages": n_pages,
+        "page_scale": page_scale,
+        "rounds": rounds,
+        "all_runs": {str(n): [r["urls_per_sec"] for r in rs] for n, rs in runs.items()},
+    }
+    print(json.dumps(out, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.environ.get("BENCH_SCALING_OUT", "BENCH/SCALE_EXEC.md"), "w") as f:
+        f.write(
+            "# N → 4N EXECUTOR scaling (real separate executor JVMs)\n\n"
+            f"The identical crawl job ({n_pages} synthetic pages, "
+            f"page_scale={page_scale}, {waves} wave(s), priority mode, "
+            "bloom seen-set, distributed seq) on local-cluster — N Worker "
+            "JVMs, each with its own executor heap and Python workers, "
+            "driver-RPC wired: the honest single-box analog of the north "
+            "rule's N and 4N executors. Same shuffle partitions, codec "
+            "and per-executor sizing on both legs; interleaved rounds, "
+            "best-of per side.\n\n"
+            f"| cluster | URLs/sec (best of {rounds}) | pages/sec | wave times (s) |\n"
+            "|---|---|---|---|\n"
+            f"| local-cluster[1,{cores},{mem_mb}] (1 executor) | {lo} | "
+            f"{best[1]['pages_per_sec']} | {best[1]['wave_sec']} |\n"
+            f"| local-cluster[4,{cores},{mem_mb}] (4 executors) | {hi} | "
+            f"{best[4]['pages_per_sec']} | {best[4]['wave_sec']} |\n\n"
+            f"- all rounds (urls/sec): {out['all_runs']}\n"
+            f"- speedup 1→4 executors: **{out['speedup']}x**\n"
+            f"- **scaling efficiency (T_4N/T_N)/4 = {eff}**\n\n"
+            "Each executor brings its own heap (as each node does on a "
+            "real cluster); the memory bus and the single local disk "
+            "remain shared — the two resources a real multi-node cluster "
+            "would NOT share, so this bounds the engine's true cluster "
+            "scaling from below.\n"
+        )
+
+
 def filter_read() -> None:
     """Bucket-pruned Bloom-read evidence: per-wave ``seen_filters`` bytes
     read must track the wave's CANDIDATE BUCKET SPREAD, not total filter
@@ -1487,7 +1598,9 @@ def curation_bench() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-exec" in sys.argv:
+        scaling_exec()
+    elif "--scaling" in sys.argv:
         scaling()
     elif "--growth" in sys.argv:
         growth()
