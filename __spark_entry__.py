@@ -573,6 +573,21 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic content-keyed stratified sampling: down-sample
+    dominant languages, keep rare ones — reproducible under any
+    partitioning / cluster size because the keep decision is
+    substring(sha256(text),1,8) < per-lang threshold, a pure function
+    of the row (operators/curation.py). The sample_key rides the output
+    so the oracle pins hash parity byte-for-byte."""
+    from crawler_spark.operators.curation import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(
+        d, {"en": 0.25, "zh": 0.5, "*": 0.75}, stratum_col="lang"
+    ).select("doc_id", "lang", "sample_key")
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level duplicated-line removal. The
     word-soup documents are single-line, so the query deterministically
@@ -651,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -794,6 +810,17 @@ def oracle_sql() -> dict[str, str]:
             FROM rest r
             LEFT JOIN bench b USING (shingle)
             GROUP BY r.doc_id
+        """,
+        # 0.25 -> 16^8*0.25 = 0x40000000, 0.5 -> 0x80000000,
+        # 0.75 -> 0xc0000000; plain string compare on lowercase hex —
+        # byte-identical semantics across Spark sha2 and DuckDB sha256
+        "stratified_sample": """
+            SELECT doc_id, lang, substr(sha256(coalesce(text,'')), 1, 8) AS sample_key
+            FROM documents
+            WHERE substr(sha256(coalesce(text,'')), 1, 8) <
+                  CASE WHEN lang = 'en' THEN '40000000'
+                       WHEN lang = 'zh' THEN '80000000'
+                       ELSE 'c0000000' END
         """,
         # independent formulation: window row_number per trimmed line
         # (DuckDB-side; the engine deliberately uses a skew-safe

@@ -282,3 +282,65 @@ def decontaminate(
     return agg.withColumn(
         "contaminated", (F.col("n_contaminated") > 0).cast("int")
     )
+
+
+def _rate_threshold(rate: float) -> str:
+    """Hex threshold for an 8-hex-digit uniform key: keep iff key < thr.
+
+    ``rate >= 1`` returns ``"g"`` — every hex key sorts below it (hex
+    digits stop at ``f``), so the comparison stays a plain string
+    compare on both engines with no length edge case."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(0, int(rate * 16**8)), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict | float,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Content-keyed deterministic (stratified) sampling: keep a row iff
+    the first 8 hex chars of ``sha256(salt || text)`` sort below its
+    stratum's rate threshold.
+
+    Training pipelines re-balance corpus mixes (down-sample the dominant
+    language, up-weight rare ones) and must do it REPRODUCIBLY:
+    ``df.sample`` draws per-partition from a seeded RNG, so its output
+    changes with partitioning, task retries and cluster size — rerunning
+    the pipeline on more executors silently selects different documents.
+    Keying on a content hash makes the decision a pure function of the
+    row: stable across reruns, repartitioning, AQE re-plans and engine
+    versions, exactly oracle-checkable, and consistent for duplicate
+    texts (a doc's exact dups are all in or all out, so sampling
+    composes sanely with downstream dedup). Different ``salt`` values
+    give independent draws (held-out splits, ablations).
+
+    ``rates``: a float (uniform rate) or ``{stratum: rate}`` with
+    optional ``"*"`` default (no ``"*"`` → unlisted strata are dropped).
+    Output: the surviving rows plus a ``sample_key`` audit column (the
+    8-hex sampling key, so a reviewer can re-verify any decision).
+    Scale: a pure JVM Column predicate on the scan — no shuffle, no RNG
+    state, pushed past column pruning; the sha256 costs one digest of
+    the text per row, amortized against the scan itself.
+    """
+    key = F.substring(
+        F.sha2(
+            F.concat(F.lit(salt), F.coalesce(F.col(text_col), F.lit(""))), 256
+        ),
+        1,
+        8,
+    )
+    if isinstance(rates, dict):
+        thr = F.lit(_rate_threshold(float(rates.get("*", 0.0))))
+        for k in sorted(k for k in rates if k != "*"):
+            thr = F.when(
+                F.col(stratum_col) == k, F.lit(_rate_threshold(float(rates[k])))
+            ).otherwise(thr)
+    else:
+        thr = F.lit(_rate_threshold(float(rates)))
+    return df.withColumn("sample_key", key).filter(
+        F.col("sample_key") < thr
+    )

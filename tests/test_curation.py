@@ -230,3 +230,85 @@ def test_decontaminate_broadcasts_bench_side(spark):
         )
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --- deterministic content-keyed sampling -------------------------------------
+
+def test_deterministic_sample_matches_hashlib_brute_force(spark):
+    import hashlib
+
+    from crawler_spark.operators.curation import deterministic_sample
+
+    rows = [
+        (i, f"document body {i} with distinct content", ["en", "ko", "zz"][i % 3])
+        for i in range(300)
+    ] + [(900, None, "en"), (901, "", "ko")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rates = {"en": 0.3, "ko": 0.6}  # no "*": unlisted strata dropped
+    got = {
+        r["doc_id"]: r["sample_key"]
+        for r in deterministic_sample(df, rates).collect()
+    }
+    exp = {}
+    for doc_id, text, lang in rows:
+        key = hashlib.sha256((text or "").encode()).hexdigest()[:8]
+        thr = {"en": "4ccccccc", "ko": "99999999"}.get(lang)
+        if thr is not None and key < thr:
+            exp[doc_id] = key
+    assert got == exp
+    assert 0 < len(got) < len(rows)
+
+
+def test_deterministic_sample_stable_under_repartitioning(spark):
+    """The property df.sample does NOT have: the selected set must be
+    identical at any partitioning (on a cluster: any executor count)."""
+    from crawler_spark.operators.curation import deterministic_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text number "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    a = {r["doc_id"] for r in deterministic_sample(df.coalesce(1), 0.4).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(32, "doc_id"), 0.4).collect()
+    }
+    assert a == b and 100 < len(a) < 300
+
+
+def test_deterministic_sample_salt_gives_independent_draws(spark):
+    from crawler_spark.operators.curation import deterministic_sample
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.5).collect()}
+    b = {r["doc_id"] for r in deterministic_sample(df, 0.5, salt="v2").collect()}
+    assert a != b  # different draw...
+    overlap = len(a & b) / max(1, len(a))
+    assert 0.3 < overlap < 0.7  # ...but independent, not disjoint
+    # rate >= 1 keeps everything; rate 0 keeps nothing
+    assert deterministic_sample(df, 1.0).count() == 400
+    assert deterministic_sample(df, 0.0).count() == 0
+
+
+def test_deterministic_sample_is_scan_side_predicate(spark, tmp_path):
+    """No shuffle, no Python: the keep decision must stay a JVM filter
+    on the scan (at 100 TB the sample IS the scan)."""
+    import re
+
+    from crawler_spark.operators.curation import deterministic_sample
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(p)
+    out = deterministic_sample(spark.read.parquet(p), {"en": 0.5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
