@@ -588,6 +588,23 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "sample_key")
 
 
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus packing: keep the best documents (score =
+    n_chars here, ties by doc_id) until the cumulative token count
+    exceeds 8000 — the 'pack the best B tokens' curation step, computed
+    with the two-phase bucketed cumulative sum (NO global single-reducer
+    window; operators/curation.py token_budget_pack)."""
+    from crawler_spark.operators.curation import token_budget_pack
+    from crawler_spark.operators.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("score"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return token_budget_pack(d, budget=8000, score_col="score")
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level duplicated-line removal. The
     word-soup documents are single-line, so the query deterministically
@@ -667,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
     }
 
 
@@ -810,6 +828,27 @@ def oracle_sql() -> dict[str, str]:
             FROM rest r
             LEFT JOIN bench b USING (shingle)
             GROUP BY r.doc_id
+        """,
+        # independent formulation: ONE global cumulative-sum window
+        # (fine at oracle scale; the engine's two-phase bucketed plan
+        # exists precisely because this window dies at corpus scale)
+        "token_budget": """
+            WITH t AS (
+                SELECT doc_id, n_chars::BIGINT AS score,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, score, n_tokens, cum_tokens
+            FROM (
+                SELECT *, sum(n_tokens) OVER (
+                    ORDER BY score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                )::BIGINT AS cum_tokens
+                FROM t
+            )
+            WHERE cum_tokens <= 8000
         """,
         # 0.25 -> 16^8*0.25 = 0x40000000, 0.5 -> 0x80000000,
         # 0.75 -> 0xc0000000; plain string compare on lowercase hex —

@@ -5,9 +5,11 @@ These extend the reference's single-document quality gate
 (reference/src/crawler/high_performance_extractor.py:146-166 scores one
 page at a time) to the corpus-level curation passes a 100 TB training-data
 pipeline needs. Everything is built from JVM Column expressions — no
-Python UDFs, no driver-side loops, no gram-keyed shuffles, and the only
-broadcast is the (small by construction) benchmark shingle set in
-:func:`decontaminate`.
+Python UDFs, no gram-keyed shuffles, and the only broadcasts are the
+(small by construction) benchmark shingle set in :func:`decontaminate`
+and the ``n_parts``-row bucket-offset frame in
+:func:`token_budget_pack` (whose driver collect is bounded by
+``n_parts``, the same contract as ``frontier.assign_seq``).
 
 Scale notes
 -----------
@@ -34,7 +36,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # thresholds adapted from Gopher (Rae et al. 2021, arXiv:2112.11446,
@@ -343,4 +345,108 @@ def deterministic_sample(
         thr = F.lit(_rate_threshold(float(rates)))
     return df.withColumn("sample_key", key).filter(
         F.col("sample_key") < thr
+    )
+
+
+def token_budget_pack(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Select the highest-quality documents whose cumulative token count
+    fits a training budget: keep rows in (``score_col`` DESC, ``id_col``
+    ASC) order while the running INCLUSIVE sum of ``token_col`` stays
+    ≤ ``budget`` (the standard "pack the best B tokens" curation step).
+    ``score_col`` must be non-null; ties are broken by id, so the
+    selection is a deterministic total order, exactly oracle-checkable.
+
+    Output: the surviving rows plus ``cum_tokens`` (the running total
+    through each row, for audit).
+
+    Scale — the naive formulation is a cumulative sum over ONE global
+    window (empty partitionBy → every row through a single reducer,
+    dead at corpus scale). This runs the same two-phase shape as
+    ``frontier.assign_seq(distributed=True)``:
+
+    1. deterministic order-preserving buckets — each row's bucket is
+       computed from the SCORE VALUE RANGE (no sampling, so equal
+       scores always share a bucket and re-runs bucket identically),
+       highest scores in bucket 0;
+    2. per-bucket token totals (one map-side-combined agg) collect to
+       the driver — ``n_parts`` rows, bounded — and turn into exclusive
+       prefix offsets; buckets whose offset already exceeds the budget
+       are dropped wholesale before any sort;
+    3. a per-bucket running sum (Window partitioned BY BUCKET — 32
+       parallel local sorts, never one global one) plus the bucket's
+       offset gives the exact global cumulative sum.
+
+    A corpus whose scores are all equal degenerates to one bucket (the
+    order is then pure id); pass a finer-grained score if that is a
+    real workload.
+    """
+    lo, hi = "_tbp_lo", "_tbp_hi"
+    bounds = F.broadcast(
+        df.agg(
+            F.min(score_col).cast("double").alias(lo),
+            F.max(score_col).cast("double").alias(hi),
+        )
+    )
+    span = F.col(hi) - F.col(lo)
+    ranged = (
+        df.crossJoin(bounds)
+        .withColumn(
+            "_pid",
+            F.when(span <= 0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_parts - 1),
+                    F.floor(
+                        (F.col(hi) - F.col(score_col).cast("double"))
+                        * n_parts
+                        / span
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .drop(lo, hi)
+    )
+    # The bucket id is a pure function of the score, so recomputing it
+    # on the second pass buckets identically — no persist needed (and at
+    # corpus scale, re-scanning beats pinning the whole input in
+    # memory); callers iterating on budgets can .persist() upstream.
+    totals = {
+        r["_pid"]: r["_tok"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(token_col).alias("_tok"))
+        .collect()
+    }
+    offsets, running = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = running
+        running += totals[pid] or 0
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items() if o <= budget],
+            "_pid int, _off long",
+        )
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        # inner join drops whole buckets already past the budget
+        ranged.join(off_df, "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.sum(token_col).over(w) + F.col("_off")).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_off")
     )

@@ -312,3 +312,79 @@ def test_deterministic_sample_is_scan_side_predicate(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "pythonUDF" not in plan and "ArrowEval" not in plan, plan
+
+
+# --- token-budget corpus packing ----------------------------------------------
+
+def _pack_oracle(rows, budget):
+    """Brute force: running inclusive sum in (score desc, id) order."""
+    out, cum = {}, 0
+    for score, doc_id, toks in sorted(
+        ((s, i, t) for i, s, t in rows), key=lambda x: (-x[0], x[1])
+    ):
+        cum += toks
+        if cum <= budget:
+            out[doc_id] = cum
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [1, 4, 32])
+def test_token_budget_pack_matches_brute_force(spark, n_parts):
+    from crawler_spark.operators.curation import token_budget_pack
+
+    rng = __import__("random").Random(7)
+    # heavy ties: scores drawn from just 9 values so ties straddle
+    # bucket boundaries; token counts vary
+    rows = [(i, rng.randint(1, 9), rng.randint(5, 40)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n_tokens long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_pack(df, budget=3000, n_parts=n_parts).collect()
+    }
+    assert got == _pack_oracle(rows, 3000)
+
+
+def test_token_budget_pack_edges(spark):
+    from crawler_spark.operators.curation import token_budget_pack
+
+    df = spark.createDataFrame(
+        [(1, 5, 100), (2, 5, 100), (3, 4, 100)],
+        "doc_id long, score long, n_tokens long",
+    )
+    # boundary inclusive: budget exactly consumed
+    assert {r["doc_id"] for r in token_budget_pack(df, 200).collect()} == {1, 2}
+    # budget smaller than the first doc: nothing survives
+    assert token_budget_pack(df, 99).count() == 0
+    # all-equal scores degenerate to one bucket but stay correct
+    eq = spark.createDataFrame(
+        [(i, 7, 10) for i in range(20)], "doc_id long, score long, n_tokens long"
+    )
+    assert {r["doc_id"] for r in token_budget_pack(eq, 55).collect()} == set(range(5))
+
+
+def test_token_budget_pack_never_single_partition_sort(spark):
+    """The cumulative sum must run as per-bucket windows — a plan that
+    funnels the corpus through SinglePartition (the naive global-order
+    window) is the regression this pins."""
+    from crawler_spark.operators.curation import token_budget_pack
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97).cast("long").alias("score"),
+        F.lit(10).cast("long").alias("n_tokens"),
+    )
+    out = token_budget_pack(df, budget=5000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every window in the plan must be partitioned by the bucket id
+    # (windowspecdefinition's first arg); the only SinglePartition
+    # exchange allowed is the 1-row global min/max score aggregate
+    assert "windowspecdefinition(_pid" in plan, plan
+    import re
+
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+        and not re.search(r"windowspecdefinition\(_pid", ln)
+    ]
+    assert not bad, bad
