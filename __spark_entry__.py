@@ -605,6 +605,21 @@ def q_token_budget(spark, sf_dir):
     return token_budget_pack(d, budget=8000, score_col="score")
 
 
+def q_host_cap(spark, sf_dir):
+    """Host-diversity cap: at most 20 docs per source (the host analog
+    in the documents table), best n_chars first, ties by doc_id —
+    reusing the wave-batch distributed top-k so a mega-host never sorts
+    in one reducer (operators/curation.py host_cap)."""
+    from crawler_spark.operators.curation import host_cap
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    return host_cap(d, n=20)
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level duplicated-line removal. The
     word-soup documents are single-line, so the query deterministically
@@ -685,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
+        "host_cap": q_host_cap,
     }
 
 
@@ -828,6 +844,16 @@ def oracle_sql() -> dict[str, str]:
             FROM rest r
             LEFT JOIN bench b USING (shingle)
             GROUP BY r.doc_id
+        """,
+        "host_cap": """
+            SELECT doc_id, host, score, host_rank
+            FROM (
+                SELECT doc_id, source AS host, n_chars::BIGINT AS score,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id)::INT
+                           AS host_rank
+                FROM documents
+            ) WHERE host_rank <= 20
         """,
         # independent formulation: ONE global cumulative-sum window
         # (fine at oracle scale; the engine's two-phase bucketed plan

@@ -14,9 +14,10 @@ Environment:
 
 The authoritative metric (BASELINE.json) is frontier URLs/sec per wave;
 the reference's own numbers are 1–2 pages/sec (standard) and a claimed
-5–15 pages/sec (hp) single-node. The scaling-efficiency evidence
-(local[8] vs local[32]) is produced by ``python bench.py --scaling``,
-which writes BENCH/BASELINE.md.
+5–15 pages/sec (hp) single-node. The N→4N scaling-efficiency evidence
+is produced by ``python bench.py --scaling`` (thread levels, writes
+BENCH/BASELINE.md) and ``--scaling-exec`` (real separate executor JVMs
+via local-cluster, writes BENCH/SCALE_EXEC.md).
 """
 
 from __future__ import annotations

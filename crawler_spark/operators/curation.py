@@ -450,3 +450,41 @@ def token_budget_pack(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_pid", "_off")
     )
+
+
+def host_cap(
+    df: DataFrame,
+    n: int,
+    host_col: str = "host",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host-diversity cap: keep at most ``n`` documents per host,
+    best score first (ties by id).
+
+    Web corpora are host-skewed — a handful of mega-domains (forums,
+    wikis, link farms) can contribute a double-digit share of raw pages
+    — and training mixes cap per-domain contributions so one site
+    cannot dominate. Deterministic total order per host, so the kept
+    set is exact and oracle-checkable.
+
+    Scale: reuses :func:`crawler_spark.operators.frontier.topk_per_group`
+    (the wave-batch selector) — a lossless local prune keyed by
+    (input-partition, host) keeps each partition's top ``n`` first, so
+    the global per-host rank sorts at most ``n_partitions × n`` rows per
+    host instead of funneling a mega-host's 10^8 documents through one
+    reducer. Output rows carry ``host_rank`` (1-based, for audit).
+    """
+    from .frontier import topk_per_group
+
+    capped = topk_per_group(
+        df.withColumn("_cap", F.lit(n)),
+        [host_col],
+        [F.desc(score_col), F.asc(id_col)],
+        "_cap",
+    )
+    return (
+        capped.filter(F.col("_rn") <= n)
+        .withColumnRenamed("_rn", "host_rank")
+        .drop("_cap")
+    )

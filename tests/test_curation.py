@@ -388,3 +388,27 @@ def test_token_budget_pack_never_single_partition_sort(spark):
         and not re.search(r"windowspecdefinition\(_pid", ln)
     ]
     assert not bad, bad
+
+
+# --- host-diversity cap ---------------------------------------------------------
+
+def test_host_cap_matches_brute_force(spark):
+    from crawler_spark.operators.curation import host_cap
+
+    rng = __import__("random").Random(3)
+    # skewed: host h0 has 120 docs, others ~10; tied scores everywhere
+    rows = [(i, "h0", rng.randint(1, 5)) for i in range(120)]
+    rows += [(1000 + i, f"h{1 + i % 4}", rng.randint(1, 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, score long")
+    got = {
+        (r["doc_id"], r["host_rank"])
+        for r in host_cap(df, n=7).collect()
+    }
+    exp = set()
+    byhost = {}
+    for doc_id, host, score in rows:
+        byhost.setdefault(host, []).append((-score, doc_id))
+    for host, lst in byhost.items():
+        for rank, (_, doc_id) in enumerate(sorted(lst)[:7], start=1):
+            exp.add((doc_id, rank))
+    assert got == exp
