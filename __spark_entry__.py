@@ -904,12 +904,18 @@ def oracle_sql() -> dict[str, str]:
                        generate_subscripts(string_split(text, chr(10)), 1) AS pos,
                        unnest(string_split(text, chr(10))) AS line
                 FROM corpus
+            ), normed AS (
+                -- ASCII-whitespace trim, same class as the engine
+                SELECT doc_id, pos, line,
+                       regexp_replace(line,
+                           '^[ \t\r\n\f]+|[ \t\r\n\f]+$', '', 'g') AS norm
+                FROM occ
             ), tagged AS (
                 SELECT doc_id, pos, line,
-                       length(trim(line)) >= 15 AS eligible,
-                       row_number() OVER (PARTITION BY trim(line)
+                       length(norm) >= 15 AS eligible,
+                       row_number() OVER (PARTITION BY norm
                                           ORDER BY doc_id, pos) AS rn
-                FROM occ
+                FROM normed
             )
             SELECT doc_id,
                    coalesce(string_agg(

@@ -430,7 +430,12 @@ def scaling_exec() -> None:
     }
     print(json.dumps(out, indent=2))
     os.makedirs("BENCH", exist_ok=True)
-    with open(os.environ.get("BENCH_SCALING_OUT", "BENCH/SCALE_EXEC.md"), "w") as f:
+    with open(
+        # distinct from scaling()'s BENCH_SCALING_OUT so redirecting one
+        # report can never clobber the other
+        os.environ.get("BENCH_SCALING_EXEC_OUT", "BENCH/SCALE_EXEC.md"),
+        "w",
+    ) as f:
         f.write(
             "# N → 4N EXECUTOR scaling (real separate executor JVMs)\n\n"
             f"The identical crawl job ({n_pages} synthetic pages, "
@@ -1437,12 +1442,13 @@ def warc_export_bench() -> None:
 
 
 def curation_bench() -> None:
-    """Scale evidence for the curation operators (gopher_stats /
-    pii_redact / decontaminate): (a) 1x→10x input-size linearity at a
-    fixed core count, and (b) throughput scaling efficiency across a 4x
-    core ratio (local[2] vs local[8] — both legs fit under this shared
-    host's background noise; same methodology as ``--scaling``) on the
-    10x corpus. Writes BENCH/CURATION.md.
+    """Scale evidence for the curation operators (gopher_stats,
+    pii_redact, decontaminate, line_dedup, deterministic_sample,
+    token_budget_pack, host_cap): (a) 10x input-size linearity at a
+    fixed core count, and (b) N→4N EXECUTOR scaling on the wide corpus
+    via local-cluster[1,2] vs local-cluster[4,2] — real separate
+    executor JVMs, interleaved rounds, best-of per side. Writes
+    BENCH/CURATION.md.
     """
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -1506,8 +1512,51 @@ def curation_bench() -> None:
             )
         )
         times["decon_sec"] = round(time.time() - t0, 2)
+
+        from crawler_spark.operators.dedup import line_dedup
+        from crawler_spark.operators.textstats import token_count
+
+        # multi-line corpus for line dedup: every copy shares one
+        # boilerplate footer line (the pass's target workload)
+        ml = df.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit("\nCopyright Example Corp. All rights reserved."),
+            ),
+        )
+        t0 = time.time()
+        times["linededup_rows"] = force(line_dedup(ml))
+        times["linededup_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        times["sample_rows"] = force(curation.deterministic_sample(df, 0.5))
+        times["sample_sec"] = round(time.time() - t0, 2)
+        packed = df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("score"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        t0 = time.time()
+        # budget beyond the corpus: times the full two-phase cumulative
+        # sum machinery with no rows short-circuited away
+        times["pack_rows"] = force(
+            curation.token_budget_pack(packed, budget=1 << 60)
+        )
+        times["pack_sec"] = round(time.time() - t0, 2)
+        hosts = df.select(
+            "doc_id",
+            # skewed hosts: ~30% of docs on one mega-host
+            F.when(F.col("doc_id") % 10 < 3, F.lit("mega"))
+            .otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 997)))
+            .alias("host"),
+            F.length("text").cast("long").alias("score"),
+        )
+        t0 = time.time()
+        times["hostcap_rows"] = force(curation.host_cap(hosts, n=100))
+        times["hostcap_sec"] = round(time.time() - t0, 2)
+
         times["total_sec"] = round(
-            times["gopher_sec"] + times["pii_sec"] + times["decon_sec"], 2
+            sum(v for k, v in times.items() if k.endswith("_sec")), 2
         )
         return times
 
@@ -1561,21 +1610,23 @@ def curation_bench() -> None:
     with open("BENCH/CURATION.md", "w") as f:
         f.write(
             "# Curation-operator scale evidence (gopher_stats / "
-            "pii_redact / decontaminate)\n\n"
+            "pii_redact / decontaminate / line_dedup / "
+            "deterministic_sample / token_budget_pack / host_cap)\n\n"
             f"Input: sf0.1 documents replicated with perturbed ids + a "
             f"per-copy suffix token.\n\n"
             f"## Linearity at local[{cpus}]\n\n"
-            f"- {lo}x ({out[f'x{lo}']['rows']} rows): "
-            f"{out[f'x{lo}']['total_sec']}s "
-            f"(gopher {out[f'x{lo}']['gopher_sec']}, "
-            f"pii {out[f'x{lo}']['pii_sec']}, "
-            f"decon {out[f'x{lo}']['decon_sec']})\n"
-            f"- {hi}x ({out[f'x{hi}']['rows']} rows): "
-            f"{out[f'x{hi}']['total_sec']}s "
-            f"(gopher {out[f'x{hi}']['gopher_sec']}, "
-            f"pii {out[f'x{hi}']['pii_sec']}, "
-            f"decon {out[f'x{hi}']['decon_sec']})\n"
-            f"- 10x rows → **{out['time_ratio_10x']}x time** (near-linear; "
+            + "".join(
+                f"- {m}x ({out[f'x{m}']['rows']} rows): "
+                f"{out[f'x{m}']['total_sec']}s ("
+                + ", ".join(
+                    f"{k[:-4]} {v}"
+                    for k, v in out[f"x{m}"].items()
+                    if k.endswith("_sec") and k != "total_sec"
+                )
+                + ")\n"
+                for m in (lo, hi)
+            )
+            + f"- 10x rows → **{out['time_ratio_10x']}x time** (near-linear; "
             f"fixed per-job overhead dominates the small leg)\n\n"
             f"## Executor-scaling on the {scale_mult}x corpus "
             f"({scale_mult * out[f'x{lo}']['rows'] // lo} rows; local-cluster, "

@@ -364,7 +364,9 @@ def line_dedup(
     generalization of the reference's per-page quality gate,
     reference/src/crawler/high_performance_extractor.py:146-166).
 
-    A line is dedup-ELIGIBLE only when its trimmed form is at least
+    A line is dedup-ELIGIBLE only when its trimmed form (ASCII
+    whitespace — space/tab/CR/LF/FF — stripped from both ends, so CRLF
+    and LF spellings of one boilerplate line compare equal) is at least
     ``min_len`` chars: short fragments ("", "-", list bullets) recur
     naturally and are never removed. Among identical eligible lines the
     occurrence with the smallest ``(id, line position)`` survives — a
@@ -393,9 +395,17 @@ def line_dedup(
       document, payload = that document's own lines).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # explicit ASCII-whitespace trim (space/tab/CR/LF/FF) — NOT F.trim,
+    # which strips spaces only and would leave the trailing \r of a
+    # CRLF document un-stripped, so the CRLF and LF variants of the
+    # same boilerplate line would never deduplicate against each other.
+    # The class is chosen to mean the same thing in Java regex (Spark)
+    # and RE2 (the DuckDB oracle); \x0B is excluded because RE2's \s
+    # and Java's \s disagree on it.
+    ws = r"^[ \t\r\n\f]+|[ \t\r\n\f]+$"
     occ = (
         df.select(F.col(id_col), F.posexplode(F.split(t, "\n")).alias("pos", "line"))
-        .withColumn("norm", F.trim(F.col("line")))
+        .withColumn("norm", F.regexp_replace(F.col("line"), ws, ""))
         .withColumn("eligible", F.length("norm") >= min_len)
     )
     firsts = (

@@ -132,13 +132,16 @@ def test_simhash_rejects_bad_distance(docs):
 
 # --- corpus-level line dedup --------------------------------------------------
 
+ASCII_WS = " \t\r\n\f"  # the engine's documented trim class
+
+
 def _line_dedup_oracle(rows, min_len=15):
     """Independent brute force: first (id, pos) occurrence per trimmed
     eligible line survives; short lines always survive."""
     occ = []
     for doc_id, text in rows:
         for pos, line in enumerate((text or "").split("\n")):
-            occ.append((doc_id, pos, line, line.strip()))
+            occ.append((doc_id, pos, line, line.strip(ASCII_WS)))
     first = {}
     for doc_id, pos, line, norm in sorted(occ):
         if len(norm) >= min_len and norm not in first:
@@ -147,7 +150,7 @@ def _line_dedup_oracle(rows, min_len=15):
     for doc_id, text in rows:
         kept, removed, lines = [], 0, (text or "").split("\n")
         for pos, line in enumerate(lines):
-            norm = line.strip()
+            norm = line.strip(ASCII_WS)
             if len(norm) >= min_len and first[norm] != (doc_id, pos):
                 removed += 1
             else:
@@ -167,6 +170,8 @@ def test_line_dedup_matches_brute_force(spark):
         (6, "unique first line one"),  # cross-doc dup of doc 1's line
         (7, "short\nshort\n- menu -"),  # ineligible dups all survive
         (8, boiler + "\n" + boiler),  # doc left with no eligible lines
+        (9, boiler + "\r\nafter a CRLF line"),  # \r-suffixed dup removed
+        (10, "\t" + boiler + "\nunique tail line ten"),  # tab-prefixed dup
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -178,6 +183,10 @@ def test_line_dedup_matches_brute_force(spark):
     # the whitespace variant in doc 3 is REMOVED (trim-equal to doc 1's
     # boilerplate) and doc 8 collapses to empty text but keeps its row
     assert got[3][2] == 1 and got[8] == ("", 2, 2)
+    # CRLF (\r-suffixed) and tab-prefixed spellings of the boilerplate
+    # are trim-equal to doc 1's LF spelling and removed too
+    assert got[9] == ("after a CRLF line", 2, 1)
+    assert got[10][2] == 1
 
 
 def test_line_dedup_first_occurrence_is_skew_safe_agg(spark):
