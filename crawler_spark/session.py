@@ -82,6 +82,24 @@ def build_session(
         # on object storage an Iceberg backend replaces listing with
         # file-level manifests entirely.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+        # Commit-path bytes: the big tables (crawled/packets, the MOR
+        # frontier log) are dominated by extracted text, where zstd
+        # halves parquet bytes at write CPU equal to snappy (measured
+        # ~45 vs ~94 MB on a 98 MB text column at the same wall time).
+        # On the single-box bench that directly shrinks the disk-bound
+        # fixed term F of each wave's commit; at 100 TB it halves
+        # object-storage bytes and scan I/O. Same codec for shuffle /
+        # persist blocks (the fetch->extract wave shuffles carry the
+        # same text payloads; bench --scaling measured zstd ahead of
+        # lz4 once legs spill). Both env-overridable.
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         # local-mode executor memory = driver memory; size it for real
         # (hash maps / sort buffers of the fetch join at bench scale)
         .config("spark.driver.memory", driver_mem)
