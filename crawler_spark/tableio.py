@@ -72,7 +72,7 @@ from pyspark.sql.types import StructType
 REPLACE = "replace"              # small whole tables: kb, site_stats
 APPEND = "append"                # delta logs: crawled, packets, metrics
 BUCKET_APPEND = "bucket_append"  # append-only keyed state: seen
-BUCKET_REPLACE = "bucket_replace"  # mutable keyed state: frontier, ledger
+BUCKET_REPLACE = "bucket_replace"  # fixed-size-per-bucket state: seen_filters
 
 
 @dataclass
