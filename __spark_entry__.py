@@ -451,6 +451,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk_lsh(e, list(row["embedding"]), k=10, n_bits=8)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN probe (hash-selected unit centroids, float64 gemv cell
+    assignment, 4-of-16 cells probed, exact cosine inside). Fully
+    deterministic spec, so the DuckDB oracle is an independent numpy
+    evaluation of the same spec (tests/gen_fixtures.py
+    ann_ivf_topk_independent). n_probe = n_cells would equal brute-force
+    cosine_topk exactly; 4/16 exercises the real pruned-probe path."""
+    from crawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == 1).select("embedding").first()
+    return ivf_topk(e, list(row["embedding"]), k=10, n_cells=16, n_probe=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from crawler_spark.operators.textstats import fingerprint_udf
 
@@ -689,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
@@ -736,6 +751,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": """
             SELECT vec_id, cosine
             FROM read_parquet('/root/repo/tests/fixtures/ann_lsh_topk_sf0.01.parquet')
+        """,
+        "ann_ivf_topk": """
+            SELECT vec_id, cosine
+            FROM read_parquet('/root/repo/tests/fixtures/ann_ivf_topk_sf0.01.parquet')
         """,
         "multimodal_features": """
             SELECT asset_id, kind, n_bytes, f0

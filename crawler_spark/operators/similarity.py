@@ -8,9 +8,14 @@
 * **LSH-bucketed ANN (random hyperplanes)** — the scale path: s signed
   projections onto fixed seeded hyperplanes pack into an s-bit signature
   (numpy matmul in a pandas UDF); queries probe only their own bucket
-  (optionally multi-probe neighbors at Hamming distance 1). An IVF-style
-  variant can reuse the same plumbing with k-means centroids; the
-  hyperplane version is fully deterministic and dependency-free.
+  (optionally multi-probe neighbors at Hamming distance 1).
+* **IVF ANN (inverted-file / coarse quantizer)** — the other standard
+  scale path: rows are assigned to the nearest of ``n_cells`` centroid
+  cells once (an indexing pass; persist the assigned frame partitioned
+  by cell), queries probe the ``n_probe`` most query-similar cells with
+  exact cosine inside. Centroids are hash-selected corpus rows rather
+  than k-means output so the whole spec is deterministic and exactly
+  oracle-checkable; n_probe = n_cells degenerates to brute force.
 * **embedding near-dup pairs** — cosine ≥ threshold self-join within LSH
   buckets.
 """
@@ -104,6 +109,125 @@ def ann_topk_lsh(
 
     bucketed = df.withColumn("_sig", sig_udf(F.col(vec_col)))
     cand = bucketed.filter(F.col("_sig").isin(probes))
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+_IVF_MULT = 1103515245  # LCG multiplier (< 2^31: the product of a
+_IVF_INC = 12345        # 2^32-reduced id with it stays inside int64,
+#                         so the key never overflows under ANSI SQL
+#                         even for 10^10-scale ids
+
+
+def _ivf_select_key():
+    """Deterministic centroid-selection key:
+    ``((vec_id mod 2^32) * 1103515245 + 12345) mod 2^31``.
+
+    Content-independent and trivially reproducible anywhere (the
+    independent oracle recomputes it in two lines of int64 numpy),
+    uniform over ids, stable under partitioning/cluster size — the same
+    reproducibility argument as curation.deterministic_sample. A
+    k-means(||) refinement would cluster better but its float reduction
+    order varies with partitioning, which would make cell contents —
+    and therefore any fixed-probe result — unreproducible across runs."""
+    return F.pmod(
+        F.pmod(F.col("vec_id"), F.lit(2**32)) * F.lit(_IVF_MULT)
+        + F.lit(_IVF_INC),
+        F.lit(2**31),
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """The IVF coarse quantizer: ``n_cells`` unit-normalized centroid
+    vectors, rows with the smallest selection key (ties by id).
+
+    Driver-side result is (n_cells, dim) float64 — tiny; the selection
+    itself is a distributed TakeOrdered (orderBy+limit never sorts the
+    full corpus)."""
+    rows = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("_k", _ivf_select_key())
+        .orderBy("_k", "vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.stack(
+        [np.asarray(r["v"], dtype=np.float64) for r in rows]
+    )
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cents / norms
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """pandas UDF: nearest-centroid cell id per row (max dot product
+    with the unit centroids == max cosine; ties → lowest cell id, the
+    argmax first-max rule).
+
+    Arithmetic spec (shared with the independent oracle): the row is
+    promoted to float64 and each cell's similarity is one float64 gemv
+    ``m @ centroid`` — per-row dot products are independent of batch
+    size, so engine Arrow batches and the oracle's whole-matrix pass
+    agree bit-for-bit."""
+    cents = [np.ascontiguousarray(c, dtype=np.float64) for c in centroids]
+
+    @F.pandas_udf(IntegerType())
+    def fn(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = np.column_stack([m @ c for c in cents])
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return fn
+
+
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """Build the IVF index: ``(df + _cell column, centroids)``.
+
+    At scale the assigned frame is WRITTEN partitioned by ``_cell``
+    (or with a ``bucket(_cell)`` Iceberg transform): a query probing
+    ``n_probe`` of ``n_cells`` cells then prunes the scan to
+    ``n_probe/n_cells`` of the corpus at the file level — the IVF
+    trade (one indexing pass, sub-linear probes) the task brief names
+    alongside the hyperplane-LSH variant above. Assignment is one
+    map-side pandas UDF pass, no shuffle."""
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    return df.withColumn("_cell", ivf_assign_udf(cents)(F.col(vec_col))), cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` cells whose centroids are
+    most query-similar, exact JVM cosine inside (precision 1 on the
+    probed set; recall grows with n_probe and is 1 at
+    ``n_probe = n_cells`` where this EQUALS brute-force
+    :func:`cosine_topk` by construction).
+
+    Probe choice is driver-side over n_cells similarities (tiny);
+    candidates are a ``_cell IN probes`` filter — on a cell-partitioned
+    index layout that is partition pruning, not a scan."""
+    assigned, cents = ivf_index(df, n_cells, vec_col, id_col)
+    qsims = cents @ np.asarray(query, dtype=np.float64)
+    order = sorted(range(len(qsims)), key=lambda c: (-qsims[c], c))
+    probes = order[: max(1, n_probe)]
+    cand = assigned.filter(F.col("_cell").isin(probes)).drop("_cell")
     return cosine_topk(cand, query, k, vec_col, id_col)
 
 

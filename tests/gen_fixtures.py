@@ -1,6 +1,7 @@
 """Generate the DuckDB-oracle fixture parquets for the deterministic
 pure-function queries (doc_fingerprint, gate_cascade, density_extract,
-minhash_pairs, simhash_pairs, ann_lsh_topk, multimodal_features).
+minhash_pairs, simhash_pairs, ann_lsh_topk, ann_ivf_topk,
+multimodal_features).
 
 Run from the repo root:  python tests/gen_fixtures.py
 
@@ -255,6 +256,68 @@ def ann_lsh_topk_independent(
     return scored[:k]
 
 
+def ann_ivf_topk_independent(
+    ids, vecs, query, k: int = 10, n_cells: int = 16, n_probe: int = 4
+):
+    """Independent evaluation of the IVF ANN probe spec:
+
+    * centroid selection — the ``n_cells`` rows with the smallest
+      ``((vec_id mod 2^32) * 1103515245 + 12345) mod 2^31`` (ties by
+      id), each L2-normalized in float64 (zero-norm rows kept as-is);
+    * assignment — per cell one float64 gemv ``matrix @ centroid``,
+      cell = argmax (first max wins);
+    * probe set — the ``n_probe`` cells with the largest float64
+      ``centroid · query`` (ties by cell id);
+    * exact cosine on candidates with the SQL fold arithmetic
+      (float32 squares in the norm, left-to-right double folds),
+      rounded to 4; top-k by (−cosine, id).
+    """
+    import math
+
+    import numpy as np
+
+    keys = (np.asarray(ids, dtype=np.int64) % 2**32) * 1103515245 + 12345
+    keys %= 2**31
+    sel = sorted(range(len(ids)), key=lambda i: (keys[i], ids[i]))[:n_cells]
+    cents = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in sel])
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+
+    m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs]).astype(
+        np.float64
+    )
+    sims = np.column_stack([m @ np.ascontiguousarray(c) for c in cents])
+    cells = np.argmax(sims, axis=1)
+
+    qsims = cents @ np.asarray(query, dtype=np.float64)
+    probe_order = sorted(range(n_cells), key=lambda c: (-qsims[c], c))
+    probes = set(probe_order[: max(1, n_probe)])
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def fold_norm(v):
+        acc = 0.0
+        for x in v:
+            acc += float(np.float32(x) * np.float32(x))
+        return math.sqrt(acc)
+
+    qn = float(np.linalg.norm(query))
+    scored = []
+    for i, vid in enumerate(ids):
+        if int(cells[i]) not in probes:
+            continue
+        v = [float(x) for x in vecs[i]]
+        cos = round(fold_dot(v, query) / (fold_norm(v) * qn), 4)
+        scored.append((vid, cos))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 # --- multimodal features: independent fake-decode spec evaluation -----------
 
 def multimodal_features_independent(n: int = 48, seed: int = 42, dim: int = 16):
@@ -381,6 +444,16 @@ def main() -> None:
     ann["vec_id"] = ann["vec_id"].astype("int64")
     ann.to_parquet(os.path.join(OUT_DIR, f"ann_lsh_topk_sf{SF}.parquet"), index=False)
 
+    # IVF probe spec: a different query row (vec_id 1) than the LSH
+    # entry so the two ANN oracles don't share a probe geometry
+    query_ivf = [float(x) for x in vecs[ids.index(1)]]
+    ivf = pd.DataFrame(
+        ann_ivf_topk_independent(ids, vecs, query_ivf, k=10, n_cells=16, n_probe=4),
+        columns=["vec_id", "cosine"],
+    )
+    ivf["vec_id"] = ivf["vec_id"].astype("int64")
+    ivf.to_parquet(os.path.join(OUT_DIR, f"ann_ivf_topk_sf{SF}.parquet"), index=False)
+
     mm = pd.DataFrame(
         multimodal_features_independent(),
         columns=["asset_id", "kind", "n_bytes", "f0"],
@@ -396,7 +469,7 @@ def main() -> None:
         f"fingerprint={len(fp)} gate_cascade={len(gc)} "
         f"density={len(de)} minhash_pairs={len(mh)} "
         f"simhash_pairs={len(sp)} ann_lsh_topk={len(ann)} "
-        f"multimodal_features={len(mm)}"
+        f"ann_ivf_topk={len(ivf)} multimodal_features={len(mm)}"
     )
 
 

@@ -50,6 +50,58 @@ def test_ann_lsh_recall(vectors):
     assert hits >= 10  # ≥ 2/3 recall on the planted structure
 
 
+def test_ivf_full_probe_equals_bruteforce(vectors):
+    """n_probe = n_cells probes every cell, so the IVF result must EQUAL
+    brute-force cosine_topk row-for-row regardless of the clustering."""
+    df, base = vectors
+    q = base[7].tolist()
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(df, q, k=8, n_cells=8, n_probe=8).collect()
+    ]
+    expect = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk(df, q, k=8).collect()
+    ]
+    assert got == expect
+
+
+def test_ivf_recall_partial_probe(vectors):
+    """Probing 3 of 8 cells: the query row itself must be retrieved
+    (its cell is always the top probe: cos(q, centroid) ranking puts
+    q's own argmax cell first) and planted near-dups should mostly
+    surface — ≥2/3 recall of the exact top-3 over 5 probes, same bar
+    as the LSH test."""
+    df, base = vectors
+    hits = 0
+    for probe in range(5):
+        q = base[probe].tolist()
+        exact = set(_brute_topk(base, np.asarray(q), 3))
+        approx = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                df, q, k=3, n_cells=8, n_probe=3
+            ).collect()
+        }
+        assert probe in approx  # self-retrieval
+        hits += len(exact & approx)
+    assert hits >= 10
+
+
+def test_ivf_assignment_stable_under_repartition(vectors):
+    """Cell assignment is a pure function of (vec, centroid set):
+    repartitioning must not change any row's cell — the property that
+    makes a persisted cell-partitioned index layout valid."""
+    df, base = vectors
+    a1, cents1 = similarity.ivf_index(df, n_cells=8)
+    a2, cents2 = similarity.ivf_index(df.repartition(7), n_cells=8)
+    assert np.allclose(cents1, cents2)
+    m1 = {r["vec_id"]: r["_cell"] for r in a1.select("vec_id", "_cell").collect()}
+    m2 = {r["vec_id"]: r["_cell"] for r in a2.select("vec_id", "_cell").collect()}
+    assert m1 == m2
+    assert len(set(m1.values())) > 1  # the quantizer actually partitions
+
+
 def test_embedding_neardup_exact_matches_numpy(vectors):
     """The exact operator (the correctness contract the driver oracles)
     must equal the numpy brute-force pair set."""
