@@ -634,6 +634,68 @@ def q_host_cap(spark, sf_dir):
     return host_cap(d, n=20)
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs (dedup.ngram_jaccard_pairs):
+    inverted-index self-join on hashed word 3-grams, exact Jaccard from
+    per-pair intersection counts. The DuckDB oracle brute-forces the
+    same definition over the 3-gram STRINGS (the engine hashes grams to
+    64 bits first — splitmix64-mixed crc32, collision probability over
+    this corpus « 1e-9, so distinct-hash counts equal distinct-gram
+    counts). Same corpus + threshold as ``minhash_pairs``, whose banding
+    recall is 1.0 here, so the two entries must agree — and the oracle
+    checks this path with no banding assumption at all."""
+    from crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5, n=3)
+
+
+def q_curate_packets(spark, sf_dir):
+    """The packet-curation composition (curation.curate_packets):
+    Gopher repetition gate routes packets to kept/failed, and kept
+    packet text is PII-redacted before it would land in a sink. PII is
+    injected deterministically per doc_id residue (the corpus carries
+    none naturally) so the redaction chain is exercised; the output
+    unions both routes with a status column so the oracle pins the
+    gate decision AND byte-identical redacted text in one hash."""
+    from crawler_spark.operators.curation import curate_packets
+
+    d = _t(spark, sf_dir, "documents")
+    packets = d.select(
+        F.col("doc_id").alias("packet_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit(" Contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 > 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("extracted_text"),
+    )
+    kept, failed = curate_packets(packets)
+    return kept.select(
+        "packet_id",
+        F.lit("kept").alias("status"),
+        F.col("extracted_text").alias("text"),
+    ).unionByName(
+        failed.select(
+            "packet_id",
+            F.lit("failed").alias("status"),
+            F.col("extracted_text").alias("text"),
+        )
+    )
+
+
 def q_line_dedup(spark, sf_dir):
     """C4/RefinedWeb-style corpus-level duplicated-line removal. The
     word-soup documents are single-line, so the query deterministically
@@ -712,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "ngram_jaccard": q_ngram_jaccard,
+        "curate_packets": q_curate_packets,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
         "token_budget": q_token_budget,
@@ -905,6 +969,110 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN '40000000'
                        WHEN lang = 'zh' THEN '80000000'
                        ELSE 'c0000000' END
+        """,
+        # brute-force over 3-gram STRINGS (the engine's 64-bit gram
+        # hashing is collision-free at this corpus size, so distinct
+        # counts agree); inverted-index join mirrors the pair algebra
+        "ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(w) >= 3
+                            THEN list_transform(generate_series(1, len(w) - 2),
+                                                i -> array_to_string(w[i:i+2], ' '))
+                            WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                            ELSE [] END) AS grams
+              FROM base
+            ),
+            ex AS (
+              SELECT doc_id, len(grams)::BIGINT AS n, unnest(grams) AS g
+              FROM sh WHERE len(grams) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::DOUBLE /
+                         (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+            FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*)::DOUBLE /
+                   (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+        """,
+        # gopher gate (same CTE chain as quality_gopher, over the
+        # PII-enriched packet text) routes kept/failed; kept text gets
+        # the same fixed-order redaction chain as pii_redact
+        "curate_packets": """
+            WITH enriched AS (
+              SELECT doc_id AS packet_id,
+                     text
+                     || CASE WHEN doc_id % 3 > 0
+                             THEN ' Contact user' || doc_id::VARCHAR || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 > 0
+                             THEN ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT packet_id,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS w,
+                     coalesce(text, '') AS t
+              FROM enriched
+            ),
+            stats AS (
+              SELECT packet_id,
+                     len(w)::BIGINT AS n_words,
+                     round(CASE WHEN len(w) > 0
+                                THEN length(regexp_replace(t, '\\s+', '', 'g'))::DOUBLE / len(w)
+                                ELSE 0.0 END, 6) AS mean_word_len,
+                     CASE WHEN len(w) >= 2
+                          THEN list_transform(generate_series(1, len(w) - 1),
+                                              i -> array_to_string(w[i:i+1], ' '))
+                          ELSE [] END AS g2,
+                     CASE WHEN len(w) >= 3
+                          THEN list_transform(generate_series(1, len(w) - 2),
+                                              i -> array_to_string(w[i:i+2], ' '))
+                          ELSE [] END AS g3
+              FROM base
+            ),
+            t2 AS (
+              SELECT packet_id, max(c)::BIGINT AS top2, sum(c)::BIGINT AS tot2
+              FROM (SELECT packet_id, g, count(*) AS c
+                    FROM (SELECT packet_id, unnest(g2) AS g FROM stats)
+                    GROUP BY packet_id, g)
+              GROUP BY packet_id
+            ),
+            t3 AS (
+              SELECT packet_id, count(*)::BIGINT AS tot3,
+                     count(DISTINCT g)::BIGINT AS dist3
+              FROM (SELECT packet_id, unnest(g3) AS g FROM stats)
+              GROUP BY packet_id
+            ),
+            gate AS (
+              SELECT s.packet_id,
+                     (s.n_words BETWEEN 40 AND 100000
+                      AND s.mean_word_len BETWEEN 2.0 AND 12.0
+                      AND round(coalesce(t2.top2::DOUBLE / t2.tot2, 0.0), 6) <= 0.20
+                      AND round(coalesce((t3.tot3 - t3.dist3)::DOUBLE / t3.tot3, 0.0), 6) <= 0.30)
+                         AS p
+              FROM stats s
+              LEFT JOIN t2 USING (packet_id)
+              LEFT JOIN t3 USING (packet_id)
+            )
+            SELECT e.packet_id,
+                   CASE WHEN g.p THEN 'kept' ELSE 'failed' END AS status,
+                   CASE WHEN g.p THEN
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(e.text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')
+                   ELSE e.text END AS text
+            FROM enriched e JOIN gate g USING (packet_id)
         """,
         # independent formulation: window row_number per trimmed line
         # (DuckDB-side; the engine deliberately uses a skew-safe

@@ -155,12 +155,85 @@ def ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: input DataFrame is empty — cannot select centroids"
+        )
     cents = np.stack(
         [np.asarray(r["v"], dtype=np.float64) for r in rows]
     )
     norms = np.linalg.norm(cents, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return cents / norms
+
+
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 10,
+    sample_size: int = 65536,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical-k-means-refined IVF centroids — deterministic Lloyd.
+
+    Hash-selected centroids (:func:`ivf_centroids`) are reproducible but
+    unclustered: on skewed/clustered embedding distributions most rows
+    land in a few cells and probe pruning collapses. This refinement
+    runs fixed-iteration spherical k-means (Lloyd) ON THE DRIVER over a
+    deterministic corpus sample, keeping the whole spec exactly
+    checkable:
+
+    * the sample is the ``sample_size`` rows with the smallest
+      ``_ivf_select_key()`` (ties by id) — a distributed TakeOrdered,
+      same uniform content-independent key as centroid selection, so
+      the sample is identical under any partitioning / cluster size;
+    * init = the first ``n_cells`` sample rows (exactly the hash-
+      selected centroids), unit-normalized;
+    * each Lloyd step assigns sample rows by float64 argmax dot (ties →
+      lowest cell) and recomputes cell means with numpy's fixed
+      row-order reduction — driver-side, so no distributed float
+      reduction-order nondeterminism; empty cells keep their previous
+      centroid; means are re-unit-normalized (spherical k-means, the
+      right objective for cosine IVF).
+
+    Driver cost is O(sample_size × dim × n_cells × iters) — at the
+    FAISS-style defaults (64k sample) this is a few seconds regardless
+    of corpus size, the standard quantizer-training-on-a-sample trade.
+    Returns (n_cells, dim) float64 unit rows for :func:`ivf_index`'s
+    ``centroids`` param."""
+    rows = (
+        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("_k", _ivf_select_key())
+        .orderBy("_k", "vec_id")
+        .limit(max(sample_size, n_cells))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids_kmeans: input DataFrame is empty — cannot train"
+        )
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"ivf_centroids_kmeans: {len(rows)} rows < n_cells={n_cells}"
+        )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    xn[xn == 0] = 1.0
+    x = x / xn
+    cents = x[:n_cells].copy()
+    for _ in range(max(0, iters)):
+        sims = x @ cents.T  # (sample, n_cells)
+        assign = np.argmax(sims, axis=1)  # first-max tie rule
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members) == 0:
+                continue  # empty cell keeps its previous centroid
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                cents[c] = m / n
+    return cents
 
 
 def ivf_assign_udf(centroids: np.ndarray):
@@ -191,6 +264,7 @@ def ivf_index(
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Build the IVF index: ``(df + _cell column, centroids)``.
 
@@ -200,8 +274,20 @@ def ivf_index(
     ``n_probe/n_cells`` of the corpus at the file level — the IVF
     trade (one indexing pass, sub-linear probes) the task brief names
     alongside the hyperplane-LSH variant above. Assignment is one
-    map-side pandas UDF pass, no shuffle."""
-    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    map-side pandas UDF pass, no shuffle.
+
+    ``centroids``: pass a precomputed (n_cells, dim) unit-row array
+    (from :func:`ivf_centroids` or :func:`ivf_centroids_kmeans`) to
+    skip the selection pass — the repeated-query path."""
+    if "_cell" in df.columns:
+        raise ValueError(
+            "ivf_index: input already carries a '_cell' column (internal "
+            "name) — rename it before indexing"
+        )
+    if centroids is None:
+        cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    else:
+        cents = np.ascontiguousarray(centroids, dtype=np.float64)
     return df.withColumn("_cell", ivf_assign_udf(cents)(F.col(vec_col))), cents
 
 
@@ -213,6 +299,7 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: tuple[DataFrame, np.ndarray] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``n_probe`` cells whose centroids are
     most query-similar, exact JVM cosine inside (precision 1 on the
@@ -222,8 +309,17 @@ def ivf_topk(
 
     Probe choice is driver-side over n_cells similarities (tiny);
     candidates are a ``_cell IN probes`` filter — on a cell-partitioned
-    index layout that is partition pruning, not a scan."""
-    assigned, cents = ivf_index(df, n_cells, vec_col, id_col)
+    index layout that is partition pruning, not a scan.
+
+    ``index``: pass the ``(assigned_df, centroids)`` pair from
+    :func:`ivf_index` (ideally with the assigned frame persisted /
+    written partitioned by ``_cell``) so repeated queries reuse one
+    indexing pass instead of rebuilding it per call; the inline
+    one-shot path below is the oracle-checkable single-query form."""
+    if index is not None:
+        assigned, cents = index
+    else:
+        assigned, cents = ivf_index(df, n_cells, vec_col, id_col)
     qsims = cents @ np.asarray(query, dtype=np.float64)
     order = sorted(range(len(qsims)), key=lambda c: (-qsims[c], c))
     probes = order[: max(1, n_probe)]

@@ -102,6 +102,52 @@ def test_ivf_assignment_stable_under_repartition(vectors):
     assert len(set(m1.values())) > 1  # the quantizer actually partitions
 
 
+def test_ivf_index_guards(spark, vectors):
+    """Empty input raises a descriptive error; a pre-existing _cell
+    column is rejected instead of silently clobbered."""
+    df, _ = vectors
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_centroids(empty, n_cells=4)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.ivf_centroids_kmeans(empty, n_cells=4)
+    with pytest.raises(ValueError, match="_cell"):
+        similarity.ivf_index(df.withColumn("_cell", F.lit(0)), n_cells=4)
+
+
+def test_ivf_index_reuse_and_kmeans(vectors):
+    """A prebuilt (assigned, centroids) index reused across queries gives
+    the same result as the one-shot path; the kmeans-refined centroids
+    are deterministic under repartitioning and still satisfy the
+    full-probe == brute-force identity."""
+    df, base = vectors
+    idx = similarity.ivf_index(df, n_cells=8)
+    for qid in (3, 7):
+        q = base[qid].tolist()
+        one_shot = similarity.ivf_topk(df, q, k=5, n_cells=8, n_probe=8).collect()
+        reused = similarity.ivf_topk(df, q, k=5, n_cells=8, n_probe=8, index=idx).collect()
+        assert [tuple(r) for r in one_shot] == [tuple(r) for r in reused]
+    c1 = similarity.ivf_centroids_kmeans(df, n_cells=8, iters=5, sample_size=200)
+    c2 = similarity.ivf_centroids_kmeans(
+        df.repartition(7), n_cells=8, iters=5, sample_size=200
+    )
+    assert np.array_equal(c1, c2)  # bitwise-deterministic spec
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    kidx = similarity.ivf_index(df, n_cells=8, centroids=c1)
+    q = base[7].tolist()
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            df, q, k=8, n_cells=8, n_probe=8, index=kidx
+        ).collect()
+    ]
+    expect = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.cosine_topk(df, q, k=8).collect()
+    ]
+    assert got == expect
+
+
 def test_embedding_neardup_exact_matches_numpy(vectors):
     """The exact operator (the correctness contract the driver oracles)
     must equal the numpy brute-force pair set."""
