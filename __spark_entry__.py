@@ -634,6 +634,41 @@ def q_host_cap(spark, sf_dir):
     return host_cap(d, n=20)
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Substring-level dedup (dedup.substring_dedup_spans): maximal
+    token spans covered by word 12-grams occurring in ≥2 distinct docs
+    — the Lee-et-al-2022 span dedup mode, re-expressed as mark-and-
+    merge over duplicated grams. The word-soup corpus shares no long
+    runs naturally, so the query plants them deterministically: a
+    14-token disclaimer prefix on every doc_id%4==0 doc and an 18-token
+    subscription tail whose channel digit is doc_id%10 (same-class docs
+    share the whole tail; ALL docs share its 14-token suffix). The
+    DuckDB oracle is a brute-force fixture over gram STRINGS
+    (tests/gen_fixtures.py substring_spans_independent — dict counting
+    + plain-Python interval merge, no hashing, no Spark)."""
+    from crawler_spark.operators.dedup import substring_dedup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    pre = (
+        "terms of service apply to all content reproduced herein "
+        "without warranty of any kind"
+    )
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(pre + " ")).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit(" subscribe to channel "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(
+                " for the latest updates and breaking news delivered "
+                "straight to your inbox daily"
+            ),
+        ).alias("text"),
+    )
+    return substring_dedup_spans(corpus, min_tokens=12)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs (dedup.ngram_jaccard_pairs):
     inverted-index self-join on hashed word 3-grams, exact Jaccard from
@@ -774,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "pii_redact": q_pii_redact,
         "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "curate_packets": q_curate_packets,
         "line_dedup": q_line_dedup,
@@ -823,6 +859,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             SELECT asset_id, kind, n_bytes, f0
             FROM read_parquet('/root/repo/tests/fixtures/multimodal_features_sf0.01.parquet')
+        """,
+        "substring_dedup": """
+            SELECT doc_id, span_start, span_end, span_tokens
+            FROM read_parquet('/root/repo/tests/fixtures/substring_dedup_sf0.01.parquet')
         """,
         "quality_gopher": """
             WITH base AS (

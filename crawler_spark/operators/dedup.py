@@ -348,6 +348,147 @@ def simhash_pairs(
     )
 
 
+# --- substring-level dedup (suffix-array-style duplicated runs) ---------------
+
+def positional_shingle_udf(n: int):
+    """Hashed word ``n``-grams of a document IN POSITION ORDER (one hash
+    per window start; duplicates kept — unlike :func:`shingles_udf`,
+    whose set semantics fit Jaccard, this feeds positional span logic).
+    Docs shorter than ``n`` words yield an empty array."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fn(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            words = (t or "").split()
+            if len(words) < n:
+                out.append([])
+                continue
+            grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+            crc = np.fromiter(
+                (zlib.crc32(g.encode("utf-8")) for g in grams),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            out.append(_mix64(crc).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return fn
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "cross_doc",
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicated substring RUNS: per document, the maximal token spans
+    covered by some ``min_tokens``-gram that also occurs elsewhere —
+    the span-level dedup mode of Lee et al. 2022 (arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    uses suffix arrays to find repeated byte runs ≥ a length cutoff.
+    This is the distributed re-expression: a run of ``M ≥ min_tokens``
+    tokens shared between two documents contains ``M − min_tokens + 1``
+    shared ``min_tokens``-grams and is exactly recovered by marking
+    duplicated grams and merging their overlapping windows — same
+    output contract as the suffix-array scan, no suffix array needed.
+
+    ``scope='cross_doc'``: a gram is duplicated iff it occurs in ≥ 2
+    DISTINCT documents (detected as ``min(id) != max(id)`` — map-side
+    combinable, no count-distinct). ``scope='corpus'``: ≥ ``min_count``
+    occurrences anywhere, self-repetition included (the Lee et al.
+    semantics).
+
+    Output: one row per maximal span — (id, span_start, span_end
+    [0-based token indices, inclusive], span_tokens). Docs with no
+    duplicated run produce no rows. Downstream removal is a join +
+    token-slice away; emitting spans (not rewritten text) is the mode
+    real pipelines want, since removal policy (drop doc / cut span /
+    keep first occurrence) is a corpus-policy decision.
+
+    Scale (10^12 grams at 100 TB):
+
+    * gram-frequency pass is ``groupBy(gram_hash)`` with min/max-id (or
+      count) — map-side combinable, so mega-boilerplate grams collapse
+      per map partition before the exchange; no hot reducer.
+    * marking is a left-semi join of occurrences against duplicated
+      grams on the 64-bit gram hash — the corpus-sized shuffle; skewed
+      hot grams are AQE skew-join territory. Only (id, pos, hash)
+      triples ride it, never text.
+    * span merge is document-local: ``collect_list(pos)`` per doc is
+      bounded by document length (web docs cap at a few MB), sorted and
+      folded into intervals by one JVM higher-order ``aggregate`` —
+      no Python, no cross-doc state.
+    """
+    if scope not in ("cross_doc", "corpus"):
+        raise ValueError(f"scope must be 'cross_doc' or 'corpus', got {scope!r}")
+    k = int(min_tokens)
+    if k < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(positional_shingle_udf(k)(F.col(text_col))).alias("pos", "g"),
+    )
+    if scope == "cross_doc":
+        dup = (
+            occ.groupBy("g")
+            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("g")
+        )
+    else:
+        dup = (
+            occ.groupBy("g")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") >= min_count)
+            .select("g")
+        )
+    marked = occ.join(dup, "g", "left_semi")
+    pos_list = marked.groupBy("id").agg(
+        F.array_sort(F.collect_list("pos")).alias("ps")
+    )
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    spans = F.aggregate(
+        F.col("ps"),
+        F.expr("cast(array() as array<struct<s:int, e:int>>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(
+                            last(acc)["e"], (p + F.lit(k - 1)).cast("int")
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("s"),
+                        (p + F.lit(k - 1)).cast("int").alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        pos_list.select(F.col("id").alias(id_col), F.explode(spans).alias("sp"))
+        .select(
+            id_col,
+            F.col("sp.s").alias("span_start"),
+            F.col("sp.e").alias("span_end"),
+            (F.col("sp.e") - F.col("sp.s") + 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
 # --- corpus-level duplicated-line removal (C4/RefinedWeb-style) ---------------
 
 def line_dedup(

@@ -379,6 +379,60 @@ def exact_jaccard_pairs(docs: list[tuple[int, str]], threshold: float = 0.5):
     return out
 
 
+SUBSTR_PRE = (
+    "terms of service apply to all content reproduced herein "
+    "without warranty of any kind"
+)
+SUBSTR_TAIL_A = " subscribe to channel "
+SUBSTR_TAIL_B = (
+    " for the latest updates and breaking news delivered straight "
+    "to your inbox daily"
+)
+
+
+def substring_enrich(doc_id: int, text: str | None) -> str:
+    """The deterministic planted-duplicate corpus for the
+    substring_dedup entry (mirrors queries()['substring_dedup'])."""
+    pre = (SUBSTR_PRE + " ") if doc_id % 4 == 0 else ""
+    return (
+        pre + (text or "") + SUBSTR_TAIL_A + str(doc_id % 10) + SUBSTR_TAIL_B
+    )
+
+
+def substring_spans_independent(
+    docs: list[tuple[int, str]], min_tokens: int = 12
+) -> list[tuple[int, int, int, int]]:
+    """Brute-force duplicated-run spans: gram STRINGS (no hashing),
+    dict counting of distinct docs per gram, plain-Python interval
+    merge — an independent transcription of the span definition (a
+    token is in a span iff some cross-doc-duplicated min_tokens-gram
+    window covers it; overlapping windows merge)."""
+    from collections import defaultdict
+
+    k = min_tokens
+    gram_docs: dict[tuple, set] = defaultdict(set)
+    toks: dict[int, list[str]] = {}
+    for did, t in docs:
+        w = (t or "").split()
+        toks[did] = w
+        for i in range(len(w) - k + 1):
+            gram_docs[tuple(w[i : i + k])].add(did)
+    out = []
+    for did in sorted(toks):
+        w = toks[did]
+        spans: list[list[int]] = []
+        for p in range(len(w) - k + 1):
+            if len(gram_docs[tuple(w[p : p + k])]) < 2:
+                continue
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        for s, e in spans:
+            out.append((did, s, e, e - s + 1))
+    return out
+
+
 def main() -> None:
     os.makedirs(OUT_DIR, exist_ok=True)
     docs = duckdb.sql(
@@ -430,6 +484,24 @@ def main() -> None:
     sp["id_b"] = sp["id_b"].astype("int64")
     sp["hamming"] = sp["hamming"].astype("int32")
     sp.to_parquet(os.path.join(OUT_DIR, f"simhash_pairs_sf{SF}.parquet"), index=False)
+
+    sd = pd.DataFrame(
+        substring_spans_independent(
+            [
+                (int(d), substring_enrich(int(d), t))
+                for d, t in zip(docs["doc_id"], docs["text"])
+            ],
+            min_tokens=12,
+        ),
+        columns=["doc_id", "span_start", "span_end", "span_tokens"],
+    )
+    sd["doc_id"] = sd["doc_id"].astype("int64")
+    sd["span_start"] = sd["span_start"].astype("int32")
+    sd["span_end"] = sd["span_end"].astype("int32")
+    sd["span_tokens"] = sd["span_tokens"].astype("int64")
+    sd.to_parquet(
+        os.path.join(OUT_DIR, f"substring_dedup_sf{SF}.parquet"), index=False
+    )
 
     emb = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"

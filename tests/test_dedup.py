@@ -206,3 +206,64 @@ def test_line_dedup_first_occurrence_is_skew_safe_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert out.filter(F.col("n_removed") > 0).count() == 49
+
+
+def test_substring_dedup_planted_spans(spark):
+    """Exact span contract on a hand-built corpus: two docs share a
+    6-token run (>= min_tokens=4) at known offsets; a third doc shares
+    nothing long enough; intra-doc repetition is invisible to
+    scope='cross_doc' but found by scope='corpus'."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = [
+        (0, "intro words here " + shared + " tail zero"),      # run at 3..8
+        (1, shared + " completely different ending words"),    # run at 0..5
+        (2, "no overlap with anything else at all honestly"),
+        (3, "repeat cycle repeat cycle repeat cycle repeat cycle repeat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dedup.substring_dedup_spans(df, min_tokens=4).collect()
+    }
+    assert got == {(0, 3, 8, 6), (1, 0, 5, 6)}
+
+    # corpus scope additionally flags doc 3's self-repetition: every
+    # 4-gram window of the cycle text recurs, so one maximal span
+    # covers the whole 9-token doc
+    got_c = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.substring_dedup_spans(
+            df, min_tokens=4, scope="corpus"
+        ).collect()
+    }
+    assert (3, 0, 8) in got_c
+    assert (0, 3, 8) in got_c and (1, 0, 5) in got_c
+
+    # disjoint duplicated runs in ONE doc stay separate spans
+    a = "one two three four five"
+    b = "six seven eight nine ten"
+    df2 = spark.createDataFrame(
+        [
+            (10, a + " XXGAP1 XXGAP2 XXGAP3 XXGAP4 " + b),
+            (11, a + " other middle words entirely here " + b),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.substring_dedup_spans(df2, min_tokens=5).collect()
+    )
+    assert got2 == [(10, 0, 4), (10, 9, 13), (11, 0, 4), (11, 10, 14)]
+
+
+def test_substring_dedup_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="scope"):
+        dedup.substring_dedup_spans(df, scope="bogus")
+    with pytest.raises(ValueError, match="min_tokens"):
+        dedup.substring_dedup_spans(df, min_tokens=0)
+    # short/empty docs produce no rows, no errors
+    df3 = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    assert dedup.substring_dedup_spans(df3, min_tokens=4).count() == 0
