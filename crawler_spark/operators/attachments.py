@@ -16,7 +16,11 @@ flows into the *failure path* (sentinel + failed sink) — i.e. the
 distributed plumbing, dispatch, marker formatting, sentinel semantics
 and failure sink are all real and tested; only the per-format byte
 decoding needs the libraries. ``.txt``/``.csv`` parse for real (stdlib)
-so the success path is exercised end-to-end too.
+so the success path is exercised end-to-end too, and ``.pdf`` — the
+dominant attachment type in the reference's domain — falls back to a
+dependency-free minimal extractor (:func:`_parse_pdf_minimal`:
+uncompressed/FlateDecode streams, literal/hex show-text operators)
+when pypdf is absent, so the common case parses for real in-sandbox.
 
 Spark surface: one ``mapInPandas`` stage over ``(url, payload)`` —
 Arrow-batched, streaming through batches, no driver collect.
@@ -25,6 +29,8 @@ Arrow-batched, streaming through batches, no driver collect.
 from __future__ import annotations
 
 import io
+import re
+import zlib
 from collections.abc import Iterator
 from pathlib import PurePosixPath
 from urllib.parse import urlparse
@@ -53,9 +59,121 @@ def _parse_csv(content: bytes) -> str:
     return df.to_string()
 
 
-def _parse_pdf(content: bytes) -> str:
-    from pypdf import PdfReader  # import-guarded: absent in sandbox
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
 
+
+def _pdf_unescape(raw: bytes) -> bytes:
+    """PDF literal-string escapes (ISO 32000-1 §7.3.4.2): named escapes,
+    1-3 digit octal codes, line continuations; an unknown ``\\x`` is the
+    char itself per spec."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\" or i + 1 >= len(raw):
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():
+            j = i + 1
+            while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):
+            i += 2  # line continuation: both chars vanish
+        else:
+            out += nxt
+            i += 2
+    return bytes(out)
+
+
+# show-text operators over a decoded content stream: literal-string
+# Tj / ' / ", TJ arrays (kerning numbers ignored), hex-string Tj
+_PDF_LIT = rb"\(((?:\\.|[^\\()])*)\)"
+_PDF_SHOW_RE = re.compile(
+    _PDF_LIT + rb"\s*(?:Tj|'|\")"
+    + rb"|\[((?:" + _PDF_LIT + rb"|[^\]])*)\]\s*TJ"
+    + rb"|<([0-9A-Fa-f\s]+)>\s*Tj"
+)
+_PDF_LIT_RE = re.compile(_PDF_LIT)
+
+
+def _iter_pdf_streams(content: bytes):
+    """(dict_head, stream_body) pairs by lexical scan — no xref needed,
+    which also makes the parser robust to truncated/append-updated files
+    (any intact stream still yields its text)."""
+    pos = 0
+    while True:
+        s = content.find(b"stream", pos)
+        if s < 0:
+            return
+        if content[max(0, s - 3) : s] == b"end":  # inside 'endstream'
+            pos = s + 6
+            continue
+        e = content.find(b"endstream", s)
+        if e < 0:
+            return
+        body_start = s + 6
+        if content[body_start : body_start + 2] == b"\r\n":
+            body_start += 2
+        elif content[body_start : body_start + 1] in (b"\n", b"\r"):
+            body_start += 1
+        yield content[max(0, s - 600) : s], content[body_start:e].rstrip(b"\r\n")
+        pos = e + 9
+
+
+def _parse_pdf_minimal(content: bytes) -> str:
+    """Dependency-free PDF text extraction for the COMMON subset:
+    uncompressed or FlateDecode content streams with literal/hex-string
+    show-text operators (Tj / ' / " / TJ) — zlib is stdlib, so the
+    dominant attachment format of the reference's domain parses for real
+    even where pypdf is absent. Out of scope (→ empty → the F11
+    sentinel path): LZW/DCT/CCITT filters, CID/CMap composite fonts,
+    encrypted documents. Byte strings decode as Latin-1, correct for
+    Standard/WinAnsi simple fonts' ASCII range."""
+    chunks: list[str] = []
+    for head, body in _iter_pdf_streams(content or b""):
+        if b"/FlateDecode" in head:
+            try:
+                data = zlib.decompress(body)
+            except zlib.error:
+                continue
+        else:
+            data = body
+        if b"BT" not in data:  # no text block in this stream
+            continue
+        for m in _PDF_SHOW_RE.finditer(data):
+            lit, arr, _arr_lit, hexs = m.groups()
+            if lit is not None:
+                chunks.append(_pdf_unescape(lit).decode("latin-1"))
+            elif arr is not None:
+                chunks.append(
+                    "".join(
+                        _pdf_unescape(g.group(1)).decode("latin-1")
+                        for g in _PDF_LIT_RE.finditer(arr)
+                    )
+                )
+            elif hexs is not None:
+                h = b"".join(hexs.split())
+                if len(h) % 2:
+                    h += b"0"
+                chunks.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+    return "\n".join(c for c in chunks if c).strip()
+
+
+def _parse_pdf(content: bytes) -> str:
+    try:
+        from pypdf import PdfReader  # preferred when present
+    except ImportError:
+        return _parse_pdf_minimal(content)
     return "\n".join(
         p.extract_text() for p in PdfReader(io.BytesIO(content)).pages if p.extract_text()
     )

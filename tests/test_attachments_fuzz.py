@@ -152,3 +152,58 @@ def test_clean_chain_total_and_idempotent(text):
 def test_extract_page_never_raises(data):
     res = extract_page(data, "https://h.example.org/x", "h.example.org")
     assert res is None or isinstance(res["text"], str)
+
+
+def _mk_pdf(content_stream: bytes, compress: bool = True) -> bytes:
+    """Minimal synthetic PDF: one content stream, no xref (the lexical
+    parser doesn't need one — and real-world truncated PDFs don't have
+    a usable one either)."""
+    import zlib
+
+    body = zlib.compress(content_stream) if compress else content_stream
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" "
+        + filt
+        + b">>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_pdf_minimal_flate_parses_in_sandbox():
+    """pypdf is absent here (verified) -> the dependency-free fallback
+    must extract show-text from a FlateDecode content stream."""
+    pdf = _mk_pdf(b"BT /F1 12 Tf 72 720 Td (Hello crawler) Tj ET")
+    t, ok = parse_attachment("https://h/files/doc.pdf", pdf)
+    assert ok, t
+    assert "Hello crawler" in t
+    assert "첨부 파일 시작: doc.pdf" in t
+
+
+def test_pdf_minimal_operators_and_escapes():
+    from crawler_spark.operators.attachments import _parse_pdf_minimal
+
+    # TJ array with kerning numbers, ' operator, octal + named escapes,
+    # hex string, uncompressed stream
+    cs = (
+        b"BT [(Wor) -20 (ld)] TJ (line\\ntwo \\(x\\) \\101) ' "
+        b"<48656C6C6F> Tj ET"
+    )
+    out = _parse_pdf_minimal(_mk_pdf(cs, compress=False))
+    assert "World" in out
+    assert "line\ntwo (x) A" in out
+    assert "Hello" in out
+    # corrupt flate body -> stream skipped, no raise; no streams -> ""
+    broken = _mk_pdf(b"BT (x) Tj ET").replace(b"stream\n", b"stream\n\xff\xfe", 1)
+    assert isinstance(_parse_pdf_minimal(broken), str)
+    assert _parse_pdf_minimal(b"%PDF-1.4 nothing here") == ""
+    assert _parse_pdf_minimal(b"") == ""
+
+
+def test_pdf_broken_payload_still_sentinels():
+    t, ok = parse_attachment("https://h/files/junk.pdf", b"\x00\x01\x02 not a pdf")
+    assert not ok
+    assert PARSE_FAIL_SENTINEL.format(name="junk.pdf") in t
