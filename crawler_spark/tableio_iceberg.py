@@ -165,6 +165,84 @@ def maintenance_sql(catalog: str, qualified: str, spec: _Spec, keep_waves: int =
     return acts
 
 
+# -- pure journal bookkeeping (unit-testable without jars) ----------------
+
+
+def parse_journal(rows: list) -> dict:
+    """Latest `_commits` row(s) → in-memory journal state. ``rows`` is
+    the (0- or 1-element) collected result of the newest-first read.
+    On-disk ``snapshots`` carries ``{table: [snapshot_id, staged_wave]}``;
+    bare ids from older journals are tolerated (wave → unknown)."""
+    if not rows:
+        return {"wave": -1, "snapshots": {}, "meta": {}, "waves": {}}
+    r = rows[0]
+    snaps = json.loads(r["snapshots"])
+    return {
+        "wave": r["wave"],
+        "snapshots": {
+            k: (v[0] if isinstance(v, list) else v) for k, v in snaps.items()
+        },
+        "waves": {k: v[1] for k, v in snaps.items() if isinstance(v, list)},
+        "meta": json.loads(r["meta"] or "{}"),
+    }
+
+
+def rollback_plan(
+    journal_snapshots: dict, current: dict
+) -> list[tuple[str, int]]:
+    """Resume protocol decisions: which tables must roll back to which
+    journaled snapshot. ``current`` maps table → its newest snapshot id
+    (None = table missing/empty). A table rolls back iff it HAS a
+    journaled snapshot, currently exists, and has drifted past it —
+    stage-writes of a wave that never published."""
+    plan = []
+    for name, want in journal_snapshots.items():
+        if want is None:
+            continue
+        cur = current.get(name)
+        if cur is not None and cur != want:
+            plan.append((name, want))
+    return plan
+
+
+def advance_journal(
+    journal: dict,
+    pending: dict,
+    pending_meta: dict,
+    current: dict,
+    wave: int,
+) -> dict:
+    """The commit's bookkeeping, pure: merge the staged tables' current
+    snapshot ids and staged waves over the previous journal; untouched
+    tables keep their pins, meta is overlay-merged."""
+    snaps = dict(journal["snapshots"])
+    waves = dict(journal["waves"])
+    for name, p in pending.items():
+        snaps[name] = current[name]
+        waves[name] = p["wave"]
+    return {
+        "wave": wave,
+        "snapshots": snaps,
+        "waves": waves,
+        "meta": {**journal["meta"], **pending_meta},
+    }
+
+
+def journal_disk_row(journal: dict, committed_at: float) -> tuple:
+    """Journal state → the `_commits` append row. Round-trips through
+    :func:`parse_journal` exactly."""
+    disk = {
+        k: [sid, journal["waves"].get(k)]
+        for k, sid in journal["snapshots"].items()
+    }
+    return (
+        journal["wave"],
+        json.dumps(disk),
+        json.dumps(journal["meta"]),
+        committed_at,
+    )
+
+
 @dataclass
 class IcebergTableCatalog:
     """Drop-in TableCatalog over an Iceberg catalog namespace.
@@ -217,22 +295,7 @@ class IcebergTableCatalog:
             .limit(1)
             .collect()
         )
-        if not rows:
-            return {"wave": -1, "snapshots": {}, "meta": {}, "waves": {}}
-        r = rows[0]
-        snaps = json.loads(r["snapshots"])
-        return {
-            "wave": r["wave"],
-            # snapshots carries {table: [snapshot_id, staged_wave]} on
-            # disk (older journals may hold bare ids — tolerated)
-            "snapshots": {
-                k: (v[0] if isinstance(v, list) else v) for k, v in snaps.items()
-            },
-            "waves": {
-                k: v[1] for k, v in snaps.items() if isinstance(v, list)
-            },
-            "meta": json.loads(r["meta"] or "{}"),
-        }
+        return parse_journal(rows)
 
     @property
     def committed_wave(self) -> int:
@@ -255,16 +318,16 @@ class IcebergTableCatalog:
         # iterate the journal, not self.tables: the catalog is constructed
         # before register() calls, and the journal already names every
         # table a committed wave touched
-        for name, want in self._journal["snapshots"].items():
-            if want is None:
-                continue
-            cur = self._current_snapshot(name)
-            if cur is not None and cur != want:
-                ident = self._q(name).split(".", 1)[1]
-                self.spark.sql(
-                    f"CALL {self._catalog}.system.rollback_to_snapshot("
-                    f"table => '{ident}', snapshot_id => {want})"
-                )
+        current = {
+            name: self._current_snapshot(name)
+            for name in self._journal["snapshots"]
+        }
+        for name, want in rollback_plan(self._journal["snapshots"], current):
+            ident = self._q(name).split(".", 1)[1]
+            self.spark.sql(
+                f"CALL {self._catalog}.system.rollback_to_snapshot("
+                f"table => '{ident}', snapshot_id => {want})"
+            )
 
     # -- registration / staging / commit ---------------------------------
 
@@ -311,20 +374,17 @@ class IcebergTableCatalog:
         with self._lock:
             pending, self._pending = self._pending, {}
             pending_meta, self._pending_meta = self._pending_meta, {}
-        snaps = dict(self._journal["snapshots"])
-        waves = dict(self._journal["waves"])
-        for name, p in pending.items():
-            snaps[name] = self._current_snapshot(name)
-            waves[name] = p["wave"]
-        meta = {**self._journal["meta"], **pending_meta}
-        self._append_journal(wave, snaps, waves, meta)
-        self._journal = {"wave": wave, "snapshots": snaps, "waves": waves, "meta": meta}
+        current = {name: self._current_snapshot(name) for name in pending}
+        journal = advance_journal(
+            self._journal, pending, pending_meta, current, wave
+        )
+        self._append_journal(journal)
+        self._journal = journal
 
-    def _append_journal(self, wave: int, snaps: dict, waves: dict, meta: dict) -> None:
-        disk = {k: [sid, waves.get(k)] for k, sid in snaps.items()}
-        row = [(wave, json.dumps(disk), json.dumps(meta), time.time())]
+    def _append_journal(self, journal: dict) -> None:
         self.spark.createDataFrame(
-            row, "wave INT, snapshots STRING, meta STRING, committed_at DOUBLE"
+            [journal_disk_row(journal, time.time())],
+            "wave INT, snapshots STRING, meta STRING, committed_at DOUBLE",
         ).writeTo(self._q(_COMMITS)).append()
 
     def set_meta(self, key: str, value) -> None:
@@ -404,10 +464,8 @@ class IcebergTableCatalog:
         snaps = dict(self._journal["snapshots"])
         for n in names:
             snaps[n] = self._current_snapshot(n)
-        self._append_journal(
-            self._journal["wave"], snaps, self._journal["waves"], self._journal["meta"]
-        )
-        self._journal["snapshots"] = snaps
+        self._journal = {**self._journal, "snapshots": snaps}
+        self._append_journal(self._journal)
 
     def destroy(self) -> None:
         for name in list(self.tables) + [_COMMITS]:

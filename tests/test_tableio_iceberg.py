@@ -159,3 +159,90 @@ def test_rollback_orphans_discards_unjournaled_appends(ice_cat, spark):
     cat2.register("a", APPEND)
     assert cat2.committed_wave == 0
     assert cat2.read("a").count() == 1  # the orphaned append rolled back
+
+
+# -- journal/rollback bookkeeping: pure, jar-free (VERDICT r4 item 5) ----
+
+def test_parse_journal_empty_and_legacy_and_current():
+    from crawler_spark.tableio_iceberg import parse_journal
+
+    assert parse_journal([]) == {
+        "wave": -1, "snapshots": {}, "meta": {}, "waves": {}
+    }
+    # legacy bare-id journals (no staged-wave element) are tolerated
+    legacy = [{
+        "wave": 3,
+        "snapshots": '{"seen": 101, "frontier": 102}',
+        "meta": None,
+    }]
+    j = parse_journal(legacy)
+    assert j["snapshots"] == {"seen": 101, "frontier": 102}
+    assert j["waves"] == {} and j["meta"] == {}
+    current = [{
+        "wave": 7,
+        "snapshots": '{"seen": [201, 7], "kb": [55, 6]}',
+        "meta": '{"frontier_terminal_since_compact": 1200}',
+    }]
+    j = parse_journal(current)
+    assert j["wave"] == 7
+    assert j["snapshots"] == {"seen": 201, "kb": 55}
+    assert j["waves"] == {"seen": 7, "kb": 6}
+    assert j["meta"]["frontier_terminal_since_compact"] == 1200
+
+
+def test_rollback_plan_only_drifted_existing_tables():
+    from crawler_spark.tableio_iceberg import rollback_plan
+
+    journaled = {"seen": 10, "frontier": 20, "kb": None, "ledger": 30}
+    current = {
+        "seen": 10,       # at its pin → untouched
+        "frontier": 21,   # drifted (unpublished stage-write) → roll back
+        "kb": 99,         # journaled None → never rolled
+        "ledger": None,   # table missing/empty → nothing to roll
+    }
+    assert rollback_plan(journaled, current) == [("frontier", 20)]
+    assert rollback_plan({}, {}) == []
+
+
+def test_advance_journal_merges_pins_and_meta():
+    from crawler_spark.tableio_iceberg import advance_journal
+
+    prev = {
+        "wave": 4,
+        "snapshots": {"seen": 10, "kb": 5},
+        "waves": {"seen": 4, "kb": 2},
+        "meta": {"a": 1, "b": 2},
+    }
+    nxt = advance_journal(
+        prev,
+        pending={"seen": {"wave": 5}, "frontier": {"wave": 5}},
+        pending_meta={"b": 9, "c": 3},
+        current={"seen": 11, "frontier": 70},
+        wave=5,
+    )
+    # staged tables advance; untouched kb keeps its pin + staged wave
+    assert nxt == {
+        "wave": 5,
+        "snapshots": {"seen": 11, "kb": 5, "frontier": 70},
+        "waves": {"seen": 5, "kb": 2, "frontier": 5},
+        "meta": {"a": 1, "b": 9, "c": 3},
+    }
+    # the input journal is not mutated (crash between bookkeeping and
+    # the journal append must leave the in-memory state at the old wave)
+    assert prev["snapshots"] == {"seen": 10, "kb": 5}
+    assert prev["meta"] == {"a": 1, "b": 2}
+
+
+def test_journal_disk_row_roundtrips_through_parse():
+    from crawler_spark.tableio_iceberg import journal_disk_row, parse_journal
+
+    j = {
+        "wave": 9,
+        "snapshots": {"seen": 77, "frontier": 88},
+        "waves": {"seen": 9, "frontier": 8},
+        "meta": {"k": [1, 2]},
+    }
+    wave, snaps, meta, ts = journal_disk_row(j, committed_at=123.5)
+    back = parse_journal([{"wave": wave, "snapshots": snaps, "meta": meta}])
+    assert back == j
+    assert ts == 123.5
