@@ -174,6 +174,14 @@ class CrawlConfig:
     # deterministic, the parity oracle) or 'http' (fetch + parse each
     # distinct seed host's /robots.txt at init, operators/robots.py)
     robots_mode: str = "table"
+    # robots cache lifetime (http mode only): before each wave, hosts
+    # whose robots.txt fetch is older than this are re-fetched and the
+    # compiled rule dim rebuilt, so changed rules take effect mid-crawl
+    # without an engine restart (RFC 9309 §2.4 allows caching "generally
+    # up to 24 hours" — the default). 0 disables refresh (fetch-once).
+    # Table mode never refreshes: the provided frame is the parity
+    # oracle and must stay bit-stable.
+    robots_ttl_s: float = 24 * 3600.0
     # seed the wave-0 frontier from each host's sitemaps (robots.txt
     # Sitemap: directives, /sitemap.xml fallback, one sitemapindex
     # level — operators/sitemaps.py). Live-HTTP bootstrap: discovered
@@ -257,6 +265,11 @@ class CrawlEngine:
             from crawler_spark.operators.robots import fetch_robots_raw
 
             self._robots_raw = fetch_robots_raw(seeds, **_boot_opts).persist()
+        # per-host robots fetch timestamps (http mode): drive the TTL
+        # refresh in _maybe_refresh_robots. Monotonic clock, swappable in
+        # tests (a test advances time instead of sleeping a day).
+        self._robots_clock = time.monotonic
+        self._robots_fetched_at: dict[str, float] = {}
         if self.config.robots_mode == "http":
             assert robots is None, (
                 "robots_mode='http' fetches rules from the live hosts; "
@@ -268,6 +281,13 @@ class CrawlEngine:
                 spark, seeds, raw=self._robots_raw, **_boot_opts
             ).persist()
             self.robots_df.count()  # materialize: fetch exactly once
+            now = self._robots_clock()
+            self._robots_fetched_at = {
+                r["host"]: now
+                for r in seeds.select(
+                    F.lower(F.parse_url("base_url", F.lit("HOST"))).alias("host")
+                ).distinct().collect()
+            }
         else:
             self.robots_df = robots if robots is not None else spark.createDataFrame(
                 [], schemas.ROBOTS
@@ -730,6 +750,53 @@ class CrawlEngine:
 
     # -- helpers ----------------------------------------------------------
 
+    def _maybe_refresh_robots(self) -> list[str]:
+        """Robots cache lifecycle (http mode): re-fetch robots.txt for
+        hosts whose cached copy is older than ``robots_ttl_s`` and swap
+        in a freshly compiled rule dim, so rule changes propagate across
+        waves without an engine restart. Returns the refreshed hosts
+        (empty when nothing was stale — the common case, costing one
+        dict scan and zero Spark work).
+
+        Only the stale hosts' seeds are re-fetched (per-host TTL, one
+        GET per origin as at init); still-fresh hosts keep their cached
+        rows. A host whose re-fetch fails gets whatever
+        ``robots_from_seeds`` derives for a failed fetch — the same
+        no-rules semantics as a failed init fetch, so refresh can only
+        ever be as wrong as bootstrap already is."""
+        cfg = self.config
+        if cfg.robots_mode != "http" or cfg.robots_ttl_s <= 0:
+            return []
+        now = self._robots_clock()
+        stale = sorted(
+            h
+            for h, t in self._robots_fetched_at.items()
+            if now - t >= cfg.robots_ttl_s
+        )
+        if not stale:
+            return []
+        from crawler_spark.operators.politeness import compile_robots
+        from crawler_spark.operators.robots import robots_from_seeds
+
+        stale_seeds = self.seeds_df.filter(
+            F.lower(F.parse_url("base_url", F.lit("HOST"))).isin(stale)
+        )
+        fresh = robots_from_seeds(self.spark, stale_seeds, **self._boot_opts)
+        old_df, old_rules = self.robots_df, self._robots_rules
+        self.robots_df = (
+            old_df.filter(~F.col("host").isin(stale))
+            .unionByName(fresh)
+            .persist()
+        )
+        self.robots_df.count()  # fetch exactly once, here
+        self._robots_rules = compile_robots(self.robots_df).persist()
+        self._robots_rules.count()
+        old_df.unpersist()
+        old_rules.unpersist()
+        for h in stale:
+            self._robots_fetched_at[h] = now
+        return stale
+
     def _seed_dim(self):
         return F.broadcast(
             self.seeds_df.select(
@@ -829,6 +896,7 @@ class CrawlEngine:
         w = self.cat.committed_wave + 1
         cfg = self.config
         cat = self.cat
+        self._maybe_refresh_robots()
 
         frontier_log = cat.read("frontier", schemas.FRONTIER)
         kb = cat.read("kb", schemas.KB)

@@ -445,12 +445,13 @@ PAGES: dict[str, bytes] = {
 
 class _Handler(BaseHTTPRequestHandler):
     hits: dict[str, int] = {}  # path → GET count (single-process tests)
+    robots_txt = ROBOTS_TXT  # mutable: the TTL-refresh test swaps it
 
     def do_GET(self):  # noqa: N802 (http.server API)
         cls = type(self)
         cls.hits[self.path] = cls.hits.get(self.path, 0) + 1
         if self.path == "/robots.txt":
-            status, ctype, body = 200, "text/plain", ROBOTS_TXT
+            status, ctype, body = 200, "text/plain", cls.robots_txt
         elif self.path in PAGES:
             status, ctype, body = 200, "text/html", PAGES[self.path]
         else:
@@ -595,3 +596,66 @@ def test_http_robots_crawl_matches_table_oracle(spark, server, tmp_path_factory)
     }
     assert f"{server}/" in crawled and f"{server}/p1" in crawled
     assert f"{server}/p3" not in crawled
+
+
+def test_robots_ttl_refresh_midcrawl(spark, server, tmp_path_factory):
+    """Robots cache lifecycle: the served robots.txt CHANGES after wave 1
+    (newly disallowing /p1); once the per-host TTL lapses, wave 2
+    re-fetches, recompiles the rule dim, and the new rule takes effect
+    without an engine restart — /p1 ends robots_blocked and unfetched.
+    Within the TTL nothing is re-fetched (fetch-once contract holds)."""
+    from crawler_spark import schemas
+    from crawler_spark.wave import CrawlConfig, CrawlEngine
+
+    seeds = spark.createDataFrame(
+        [("ttl", "loopback", f"{server}/", "crawl it", 50, 0.0)], schemas.SEEDS
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path_factory.mktemp("robots_ttl")),
+        pages=None,
+        seeds=seeds,
+        robots=None,
+        config=CrawlConfig(
+            mode="priority", batch_size=1, wave_seconds=20.0,
+            metrics=False, fetch_mode="http",
+            http_opts={"timeout_s": 5.0}, robots_mode="http",
+            robots_ttl_s=3600.0,
+        ),
+    )
+    # controllable clock: advance time instead of sleeping an hour
+    fake_now = [0.0]
+    eng._robots_clock = lambda: fake_now[0]
+    eng._robots_fetched_at = {h: 0.0 for h in eng._robots_fetched_at}
+
+    eng.bootstrap()
+    before = _Handler.hits.get("/robots.txt", 0)
+    eng.run_wave()  # wave 1: within TTL → no re-fetch
+    assert _Handler.hits.get("/robots.txt", 0) == before
+    assert eng._maybe_refresh_robots() == []  # still fresh, zero work
+
+    old_robots = _Handler.robots_txt
+    _Handler.robots_txt = (
+        b"User-agent: crawler-spark\nDisallow: /p3\nDisallow: /p1\n"
+        b"Crawl-delay: 1.0\n"
+    )
+    try:
+        fake_now[0] = 7200.0  # TTL lapsed
+        eng.run(max_waves=6)  # refresh fires inside the next wave
+        assert _Handler.hits.get("/robots.txt", 0) == before + 1
+        states = {
+            r["canonical_url"]: r["state"]
+            for r in eng.frontier_view().collect()
+        }
+        assert states[f"{server}/p1"] == "robots_blocked"
+        assert states[f"{server}/p3"] == "robots_blocked"
+        crawled = {
+            r["canonical_url"] for r in eng.cat.read("crawled").collect()
+        }
+        assert f"{server}/" in crawled
+        assert f"{server}/p1" not in crawled
+        # the refreshed compiled dim is what future waves broadcast
+        rules = {r["host"]: r["disallow"] for r in eng.robots_df.collect()}
+        assert rules["127.0.0.1"] == ["/p1", "/p3"]
+    finally:
+        _Handler.robots_txt = old_robots
