@@ -1660,8 +1660,144 @@ def curation_bench() -> None:
         )
 
 
+def ann_recall() -> None:
+    """IVF centroid-mode study on a CLUSTERED (skewed) corpus: recall@10
+    and cell balance for hash-selected vs kmeans-refined centroids at
+    several probe settings (VERDICT r4 item 3 — hash-selected centroids
+    are deterministic but unvalidated on non-uniform embeddings, where
+    cell imbalance guts probe pruning).
+
+    Corpus: Zipf-sized Gaussian clusters (a few mega-clusters + a long
+    tail — the shape real embedding spaces have), deterministic seed.
+    Recall@10 = |ivf_topk ∩ brute_topk| / 10 averaged over queries
+    drawn one per cluster (so the tail is represented, not just the
+    mega-clusters). Balance = distribution of corpus rows over cells
+    under each quantizer (max-cell fraction + empty cells; a perfect
+    quantizer ≈ cluster-mass proportional)."""
+    import numpy as np
+
+    from crawler_spark.operators import similarity
+
+    n_rows = int(os.environ.get("BENCH_ANN_ROWS", "40000"))
+    dim = int(os.environ.get("BENCH_ANN_DIM", "64"))
+    n_clusters = int(os.environ.get("BENCH_ANN_CLUSTERS", "24"))
+    n_cells = int(os.environ.get("BENCH_ANN_CELLS", "32"))
+    probes = [int(x) for x in os.environ.get("BENCH_ANN_PROBES", "1,2,4,8").split(",")]
+    n_queries = int(os.environ.get("BENCH_ANN_QUERIES", "24"))
+    k = 10
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    sizes = (1.0 / np.arange(1, n_clusters + 1)) ** 1.2
+    sizes = np.maximum((sizes / sizes.sum() * n_rows).astype(int), 20)
+    rows_np, labels = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((sizes[c], dim))
+        rows_np.append(pts)
+        labels += [c] * sizes[c]
+    x = np.vstack(rows_np).astype(np.float32)
+    order = rng.permutation(len(x))
+    x, labels = x[order], np.asarray(labels)[order]
+
+    spark = build(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]", shuffle=16)
+    try:
+        df = spark.createDataFrame(
+            [(int(i), x[i].tolist()) for i in range(len(x))],
+            "vec_id long, embedding array<float>",
+        ).persist()
+        df.count()
+        # one query per cluster (first n_queries clusters): centroid +
+        # noise, so queries hit both mega-clusters and the tail
+        queries = [
+            (centers[c % n_clusters] + rng.standard_normal(dim) * 0.5).tolist()
+            for c in range(n_queries)
+        ]
+        xd = x.astype(np.float64)
+        xn = xd / np.linalg.norm(xd, axis=1, keepdims=True)
+
+        def brute(q):
+            qv = np.asarray(q) / np.linalg.norm(q)
+            sims = np.round(xn @ qv, 4)
+            idx = np.lexsort((np.arange(len(sims)), -sims))[:k]
+            return set(int(i) for i in idx)
+
+        truth = [brute(q) for q in queries]
+        modes = {
+            "hash": similarity.ivf_centroids(df, n_cells=n_cells),
+            "kmeans": similarity.ivf_centroids_kmeans(
+                df, n_cells=n_cells, iters=10, sample_size=8192
+            ),
+        }
+        report: dict = {"n_rows": len(x), "dim": dim, "n_cells": n_cells,
+                        "n_clusters": n_clusters, "modes": {}}
+        for mode, cents in modes.items():
+            assigned, _ = similarity.ivf_index(df, n_cells, centroids=cents)
+            assigned = assigned.persist()
+            counts = {r["_cell"]: r["count"]
+                      for r in assigned.groupBy("_cell").count().collect()}
+            occupancy = [counts.get(c, 0) for c in range(n_cells)]
+            rec = {}
+            for np_ in probes:
+                hits = 0
+                idx = (assigned, cents)
+                for q, t in zip(queries, truth):
+                    got = {
+                        r["vec_id"]
+                        for r in similarity.ivf_topk(
+                            df, q, k=k, n_cells=n_cells, n_probe=np_, index=idx
+                        ).collect()
+                    }
+                    hits += len(got & t)
+                rec[np_] = round(hits / (k * len(queries)), 4)
+            assigned.unpersist()
+            report["modes"][mode] = {
+                "recall_at_10_by_probe": rec,
+                "max_cell_frac": round(max(occupancy) / len(x), 4),
+                "empty_cells": sum(1 for o in occupancy if o == 0),
+                "occupancy_top5": sorted(occupancy, reverse=True)[:5],
+            }
+        print(json.dumps(report, indent=2))
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/ANN.md", "w") as f:
+            h = report["modes"]["hash"]
+            km = report["modes"]["kmeans"]
+            f.write(
+                "# IVF ANN on a clustered corpus: centroid modes, recall, balance\n\n"
+                f"Corpus: {len(x)} vectors, dim {dim}, {n_clusters} Zipf-sized "
+                "Gaussian clusters (mega-clusters + long tail — the skewed shape "
+                "real embedding spaces have), deterministic seed. "
+                f"{n_cells} IVF cells; recall@10 averaged over {n_queries} "
+                "queries drawn one per cluster; brute-force numpy truth.\n\n"
+                "| centroids | " + " | ".join(f"recall@10 p={p}" for p in probes)
+                + " | max cell frac | empty cells |\n"
+                + "|---|" + "---|" * (len(probes) + 2) + "\n"
+                + "| hash-selected | "
+                + " | ".join(str(h["recall_at_10_by_probe"][p]) for p in probes)
+                + f" | {h['max_cell_frac']} | {h['empty_cells']} |\n"
+                + "| kmeans-refined | "
+                + " | ".join(str(km["recall_at_10_by_probe"][p]) for p in probes)
+                + f" | {km['max_cell_frac']} | {km['empty_cells']} |\n\n"
+                f"- top-5 cell occupancy, hash: {h['occupancy_top5']} / "
+                f"kmeans: {km['occupancy_top5']}\n"
+                "- Both quantizers share the probe machinery (`ivf_index` + "
+                "`ivf_topk(index=...)`); the kmeans refinement is the "
+                "deterministic driver-side spherical Lloyd of "
+                "`ivf_centroids_kmeans` (fixed iterations, hash-selected "
+                "sample + init — bitwise reproducible under any "
+                "partitioning, test-pinned).\n"
+                "- Reading: recall at a FIXED probe count is what the "
+                "probe-pruning trade buys; a balanced quantizer reaches "
+                "the same recall probing fewer cells, i.e. scanning a "
+                "smaller corpus fraction at 100 TB.\n"
+            )
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
-    if "--scaling-exec" in sys.argv:
+    if "--ann-recall" in sys.argv:
+        ann_recall()
+    elif "--scaling-exec" in sys.argv:
         scaling_exec()
     elif "--scaling" in sys.argv:
         scaling()
