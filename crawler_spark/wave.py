@@ -936,12 +936,26 @@ class CrawlEngine:
 
         cand = apply_kb_gates(pending, kb)
 
-        blocked_keys = None
+        # other_terminal: pending rows this wave consumes WITHOUT fetching
+        # (KB-gated / robots-blocked), already carrying their terminal
+        # state. ONE branch from one scan of the selection prefix — the
+        # previous per-state branches (gated + blocked_keys re-joined to
+        # pending) re-ran the frontier-log read once per branch inside
+        # every job that computed the outcome union.
         if cfg.mode == PRIORITY:
             cand = robots_filter(cand, self._robots_rules)
-            blocked = cand.filter("robots_blocked")
-            blocked_keys = blocked.select("site_id", "url_hash")
-            cand_live = cand.filter(~F.col("robots_blocked")).drop("robots_blocked")
+            # robots wins precedence for rows that are both
+            other_terminal = cand.filter(
+                F.col("robots_blocked") | F.col("kb_gated")
+            ).withColumn(
+                "state",
+                F.when(F.col("robots_blocked"), F.lit("robots_blocked")).otherwise(
+                    F.lit("gated_kb")
+                ),
+            )
+            cand_live = cand.filter(
+                ~F.col("robots_blocked") & ~F.col("kb_gated")
+            ).drop("robots_blocked")
             hosts = cand_live.select("site_id", "host").distinct()
             quotas = host_quotas(hosts, self.seeds_df, self.robots_df, cfg.wave_seconds)
             # the global budget rank cannot bind when the configured batch
@@ -949,11 +963,14 @@ class CrawlEngine:
             skip_budget = (
                 cfg.batch_size is not None and cfg.batch_size >= n_pending
             )
-            batch, gated = select_wave_batch_priority(
+            batch, _ = select_wave_batch_priority(
                 cand_live, quotas, self._batch_sizes(), skip_budget_rank=skip_budget
             )
         else:
             batch, gated = select_wave_batch_fifo(cand, self._batch_sizes())
+            # fifo keeps the reference's pop-cutoff semantics for which
+            # gated rows a wave consumes (select_wave_batch_fifo)
+            other_terminal = gated.withColumn("state", F.lit("gated_kb"))
 
         batch = batch.drop("kb_gated").persist()
         with _T("batch.count"):
@@ -962,7 +979,7 @@ class CrawlEngine:
             n_batch, batch_buckets = self._count_and_buckets(batch, cfg.n_buckets)
         if n_batch == 0:
             # everything pending was gated: consume it and commit the wave
-            self._finish_wave_no_batch(w, pending, gated, blocked_keys)
+            self._finish_wave_no_batch(w, other_terminal)
             return {"wave": w, "done": False, "fetched": 0, "batch": 0}
 
         # --- fetch ---------------------------------------------------------
@@ -1041,24 +1058,38 @@ class CrawlEngine:
         ).drop("_html")
         ex = ex.persist()
 
-        failed = ex.filter(F.col("ex").isNull() | F.col("ex.title").isNull())
-        ok = ex.filter(F.col("ex.title").isNotNull())
-        empty = ok.filter(F.length(F.coalesce(F.col("ex.text"), F.lit(""))) == 0)
-        nonempty = ok.filter(F.length(F.col("ex.text")) > 0)
-
-        # --- ledger change check (F8) ---------------------------------------
+        # --- ledger change check (F8) + single-pass outcome states ----------
         # The batch probes only its own url_hash buckets of the ledger —
         # bucket-pruned read, so the lookup cost tracks the batch size,
-        # not the total number of pages ever processed.
+        # not the total number of pages ever processed. The fetch-outcome
+        # classification (failed / fetched_empty / unchanged / fetched) is
+        # ONE when-chain over ONE ledger-joined scan of the extract cache:
+        # the previous one-frame-per-state formulation made every job that
+        # consumed the outcome union (frontier delta write, site_stats
+        # aggregates) re-scan the extract cache once per state and re-run
+        # the ledger join for the unchanged branch.
         led = resolve_ledger(
             cat.read_buckets("ledger", batch_buckets, schemas.LEDGER_LOG)
         ).select("url_hash", F.col("content_hash").alias("_old_hash"))
-        checked = nonempty.withColumn(
-            "content_hash", content_hash(F.col("ex.text"))
-        ).join(led, "url_hash", "left")
-        unchanged = checked.filter(F.col("content_hash") == F.col("_old_hash"))
-        changed = checked.filter(
-            F.col("_old_hash").isNull() | (F.col("content_hash") != F.col("_old_hash"))
+        nonempty_cond = F.col("ex.title").isNotNull() & (
+            F.length(F.col("ex.text")) > 0
+        )
+        checked = ex.withColumn(
+            "content_hash", F.when(nonempty_cond, content_hash(F.col("ex.text")))
+        ).join(led, "url_hash", "left").withColumn(
+            "_state",
+            F.when(
+                F.col("ex").isNull() | F.col("ex.title").isNull(), F.lit("failed")
+            )
+            .when(
+                F.length(F.coalesce(F.col("ex.text"), F.lit(""))) == 0,
+                F.lit("fetched_empty"),
+            )
+            .when(F.col("content_hash") == F.col("_old_hash"), F.lit("unchanged"))
+            .otherwise(F.lit("fetched")),
+        )
+        changed = checked.filter(F.col("_state") == "fetched").drop(
+            "_state", "_old_hash"
         ).persist()
 
         # --- attachment stage (S3/E9/S7, optional) ---------------------------
@@ -1183,57 +1214,59 @@ class CrawlEngine:
                 deduped.count()
             with _T("deep.fresh.count"):
                 fresh.count()
-        with _T("new_rows.count"):
-            # materialize once (staged 3x) + seen/filter delta buckets,
-            # one job
-            n_new, s_buckets = self._count_and_buckets(new_rows, cfg.n_buckets)
-
         # --- frontier / seen / stats updates ---------------------------------
         outcome = (
-            failed.select(*FRONTIER_COLS).withColumn("state", F.lit("failed"))
-            .unionByName(
-                empty.select(*FRONTIER_COLS).withColumn(
-                    "state", F.lit("fetched_empty")
-                )
-            )
-            .unionByName(
-                unchanged.select(*FRONTIER_COLS).withColumn(
-                    "state", F.lit("unchanged")
-                )
-            )
-            .unionByName(
-                changed.select(*FRONTIER_COLS).withColumn(
-                    "state", F.lit("fetched")
-                )
-            )
-            .unionByName(
-                gated.select(*FRONTIER_COLS).withColumn(
-                    "state", F.lit("gated_kb")
-                )
-            )
-        ).withColumn("processed_wave", F.lit(w))
-        if blocked_keys is not None:
-            blocked_rows = pending.join(blocked_keys, ["site_id", "url_hash"])
-            outcome = outcome.unionByName(
-                blocked_rows.select(*FRONTIER_COLS)
-                .withColumn("state", F.lit("robots_blocked"))
-                .withColumn("processed_wave", F.lit(w))
-            )
+            checked.withColumn("state", F.col("_state"))
+            .select(*FRONTIER_COLS)
+            .unionByName(other_terminal.select(*FRONTIER_COLS))
+            .withColumn("processed_wave", F.lit(w))
+        )
         # Frontier log append: this wave's delta is exactly the terminal
         # versions of consumed rows + the newly discovered pending rows.
         # Nothing is read back, nothing existing is rewritten — per-wave
         # frontier WRITE cost is O(delta) regardless of frontier size
         # (the 100×-scale fix for the full-snapshot rewrite).
-        # coalesce: the union stacks six+ branch partitionings (~7×
-        # n_buckets partitions of a few-KB each) — written as-is that is
-        # ~200 write tasks and ~200 tiny files PER WAVE that every later
-        # frontier read re-unions; coalesce (no shuffle) bounds the delta
-        # to n_buckets tasks/files while keeping the write parallel
+        # coalesce: the union stacks several branch partitionings (many
+        # partitions of a few KB each) — written as-is that is hundreds of
+        # write tasks and tiny files PER WAVE that every later frontier
+        # read re-unions; coalesce (no shuffle) bounds the delta to
+        # n_buckets tasks/files while keeping the write parallel
         frontier_delta = (
             outcome.select(*FRONTIER_COLS)
             .unionByName(new_rows)
             .coalesce(cfg.n_buckets)
             .persist()
+        )
+        with _T("delta.states"):
+            # ONE materializing action for everything downstream: fills
+            # the frontier_delta cache (so the stage writes and stats
+            # aggregates below all read cached slim rows instead of each
+            # recomputing the outcome branches — and, through the union,
+            # fills the new_rows cache that the seen delta reads), and
+            # its ≤ 7×n_buckets result rows give the wave summary counts
+            # AND the discovered rows' seen/filter delta buckets in the
+            # same job — this replaced the separate nonempty.count() and
+            # new_rows _count_and_buckets() jobs
+            sb_rows = (
+                frontier_delta.groupBy(
+                    "state",
+                    F.pmod(F.col("url_hash"), F.lit(cfg.n_buckets))
+                    .cast("int")
+                    .alias("_b"),
+                )
+                .count()
+                .collect()
+            )
+        state_counts: dict[str, int] = {}
+        s_bucket_set = set()
+        for r in sb_rows:
+            state_counts[r["state"]] = state_counts.get(r["state"], 0) + r["count"]
+            if r["state"] == "pending":
+                s_bucket_set.add(r["_b"])
+        s_buckets = sorted(s_bucket_set)
+        n_new = state_counts.get("pending", 0)
+        n_fetched = state_counts.get("fetched", 0) + state_counts.get(
+            "unchanged", 0
         )
 
         # seen is append-only: stage just this wave's delta (elided
@@ -1241,13 +1274,25 @@ class CrawlEngine:
         seen_delta = new_rows.select(
             "site_id", "url_hash", "canonical_url", F.lit(w).alias("discovered_wave")
         )
-        scanned_delta = nonempty.groupBy("site_id").agg(
-            F.count("*").alias("_d")
+        # per-site stats deltas all derive from the CACHED frontier_delta
+        # (scanned = rows that yielded text this wave; consumed = every
+        # terminal row; discovered = the pending rows) — identical
+        # values to aggregating the source frames, zero recomputation
+        scanned_delta = (
+            frontier_delta.filter(F.col("state").isin("fetched", "unchanged"))
+            .groupBy("site_id")
+            .agg(F.count("*").alias("_d"))
         )
-        new_seq = new_rows.groupBy("site_id").agg(
-            F.max("seq").alias("_new_max"), F.count("*").alias("_new_n")
+        new_seq = (
+            frontier_delta.filter(F.col("state") == "pending")
+            .groupBy("site_id")
+            .agg(F.max("seq").alias("_new_max"), F.count("*").alias("_new_n"))
         )
-        consumed_delta = outcome.groupBy("site_id").agg(F.count("*").alias("_c"))
+        consumed_delta = (
+            frontier_delta.filter(F.col("state") != "pending")
+            .groupBy("site_id")
+            .agg(F.count("*").alias("_c"))
+        )
         stats_next = (
             stats.join(scanned_delta, "site_id", "left")
             .join(new_seq, "site_id", "left")
@@ -1278,12 +1323,28 @@ class CrawlEngine:
             # (max wave per key) happens on the bucket-pruned read
 
         # --- metrics + commit ---------------------------------------------------
+        # per-stage lineage over CACHED frames only (batch, the
+        # state-labeled frontier delta, new_rows) — a metric must never
+        # re-run the pipeline it measures (the previous 'discovered'
+        # metric re-ran the whole seen anti-join at metrics-write time)
         mframes: list[DataFrame] = []
         self._metric(mframes, w, "selected", batch)
-        self._metric(mframes, w, "fetched", nonempty)
-        self._metric(mframes, w, "failed", failed)
-        self._metric(mframes, w, "unchanged", unchanged)
-        self._metric(mframes, w, "discovered", fresh)
+        self._metric(
+            mframes,
+            w,
+            "fetched",
+            frontier_delta.filter(F.col("state").isin("fetched", "unchanged")),
+        )
+        self._metric(
+            mframes, w, "failed", frontier_delta.filter(F.col("state") == "failed")
+        )
+        self._metric(
+            mframes,
+            w,
+            "unchanged",
+            frontier_delta.filter(F.col("state") == "unchanged"),
+        )
+        self._metric(mframes, w, "discovered", new_rows)
 
         # Stage all tables concurrently: every shared input (batch/ex/
         # changed/new_rows/frontier_delta) is already materialized in the
@@ -1352,18 +1413,25 @@ class CrawlEngine:
         with _T("stage.all"):
             from concurrent.futures import ThreadPoolExecutor
 
+            def _stage_one(name, df, touched):
+                t0 = time.time()
+                cat.stage(name, df, w, touched)
+                if _PROFILE:
+                    print(
+                        f"      [stage.{name}] {time.time() - t0:.2f}s",
+                        flush=True,
+                    )
+
             # one worker per staged table: the writes are tiny independent
             # jobs over cached inputs — with fewer workers than tables the
             # tail tables wait a full scheduling round for no reason
             with ThreadPoolExecutor(max_workers=max(4, len(stage_jobs))) as pool:
                 for fu in [
-                    pool.submit(cat.stage, name, df, w, touched)
+                    pool.submit(_stage_one, name, df, touched)
                     for name, df, touched in stage_jobs
                 ]:
                     fu.result()
 
-        with _T("nonempty.count"):
-            n_fetched = nonempty.count()
         # Decide compaction BEFORE the commit so the terminal counter's
         # reset/advance publishes atomically with this wave's deltas
         # (a crash between commit and compaction then replays with the
@@ -1415,21 +1483,15 @@ class CrawlEngine:
             fetch_cache.unpersist()
         return {"wave": w, "done": False, "batch": n_batch, "fetched": n_fetched}
 
-    def _finish_wave_no_batch(self, w, pending, gated, blocked_keys):
+    def _finish_wave_no_batch(self, w, other_terminal):
         """All pending rows were gated/blocked: append their terminal
-        versions to the frontier log, decrement the pending counters, and
-        commit the wave."""
-        outcome = gated.select(*FRONTIER_COLS).withColumn(
-            "state", F.lit("gated_kb")
-        ).withColumn("processed_wave", F.lit(w))
-        if blocked_keys is not None:
-            blocked_rows = pending.join(blocked_keys, ["site_id", "url_hash"])
-            outcome = outcome.unionByName(
-                blocked_rows.select(*FRONTIER_COLS)
-                .withColumn("state", F.lit("robots_blocked"))
-                .withColumn("processed_wave", F.lit(w))
-            )
-        outcome = outcome.persist()
+        versions (already state-labeled) to the frontier log, decrement
+        the pending counters, and commit the wave."""
+        outcome = (
+            other_terminal.select(*FRONTIER_COLS)
+            .withColumn("processed_wave", F.lit(w))
+            .persist()
+        )
         stats = self.cat.read("site_stats", schemas.SITE_STATS)
         consumed_delta = outcome.groupBy("site_id").agg(F.count("*").alias("_c"))
         stats_next = stats.join(consumed_delta, "site_id", "left").select(
