@@ -489,6 +489,55 @@ def substring_dedup_spans(
     )
 
 
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a removal policy to :func:`substring_dedup_spans` output:
+    delete the given token spans from each document's text.
+
+    ``spans``: (id, span_start, span_end) rows — the caller chooses the
+    policy upstream (e.g. keep each duplicated run's first-discovered
+    document and pass only the other occurrences here; or cut
+    everything), because removal policy is a corpus decision, not an
+    operator one. Documents without spans pass through untouched.
+
+    Output: id, text (tokens outside every span re-joined with single
+    spaces — token-level semantics, so original whitespace is
+    normalized, same contract as the span indices themselves),
+    n_tokens_removed.
+
+    Scale shape: one id-keyed join (spans side is the — much smaller —
+    duplicated-run set, groupBy-collapsed to one array per doc), then a
+    row-local higher-order ``filter`` with the token index against the
+    doc's own span array — O(tokens × spans_per_doc) per row, zero
+    Python, no additional shuffle beyond the join."""
+    sp = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    joined = df.join(sp, id_col, "left")
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    words = F.filter(words, lambda w: w != "")  # empty text → empty array
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda s: (i >= s["s"]) & (i <= s["e"])
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), words
+    ).otherwise(F.filter(words, lambda w, i: ~covered(i)))
+    n_removed = F.size(words) - F.size(kept)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        n_removed.cast("long").alias("n_tokens_removed"),
+    )
+
+
 # --- corpus-level duplicated-line removal (C4/RefinedWeb-style) ---------------
 
 def line_dedup(

@@ -46,6 +46,11 @@ def main() -> int:
     ap.add_argument("--robots", choices=["table", "http"], default="table",
                     help="politeness rules source: robots.parquet in --corpus (table) "
                          "or live /robots.txt fetch per seed host (http)")
+    ap.add_argument("--robots-ttl", type=float, default=24 * 3600.0,
+                    metavar="SECONDS",
+                    help="http robots mode: re-fetch a host's robots.txt once its "
+                         "cached copy is older than this (RFC 9309 suggests ~24h; "
+                         "0 = fetch-once, never refresh)")
     ap.add_argument("--warc-out", default=None, metavar="DIR",
                     help="archive every live-fetched page as Common-Crawl-"
                          "layout WARC under DIR/wave-N (requires --fetch http)")
@@ -138,6 +143,7 @@ def main() -> int:
             fetch_mode=args.fetch,
             warc_out=args.warc_out,
             robots_mode=args.robots,
+            robots_ttl_s=args.robots_ttl,
             sitemap_seeding=args.sitemaps,
             attachments=args.attachments,
             compact_every=args.compact_every,

@@ -267,3 +267,39 @@ def test_substring_dedup_validation(spark):
         [(1, "tiny"), (2, None), (3, "")], "doc_id long, text string"
     )
     assert dedup.substring_dedup_spans(df3, min_tokens=4).count() == 0
+
+
+def test_cut_spans_removes_duplicated_runs(spark):
+    """cut_spans composes with substring_dedup_spans: cutting the second
+    occurrence's spans removes exactly the shared tokens; untouched docs
+    and no-span docs pass through with n_tokens_removed=0."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (0, "intro words here " + shared + " tail zero"),
+        (1, shared + " completely different ending words"),
+        (2, "no overlap with anything else at all honestly"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = dedup.substring_dedup_spans(df, min_tokens=4)
+    # cut-everything policy: both occurrences lose exactly the 6 shared
+    # tokens; an example keep-first policy is exercised below
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens_removed"])
+        for r in dedup.cut_spans(df, spans).collect()
+    }
+    for d in (0, 1):
+        text, n = out[d]
+        assert n == 6
+        for w in shared.split():
+            assert w not in text.split()
+    assert out[0][0] == "intro words here tail zero"
+    assert out[1][0] == "completely different ending words"
+    assert out[2][1] == 0 and out[2][0] == docs[2][1]
+    # keep-first policy: cut only the higher-id occurrence's spans
+    kept_first = {
+        r["doc_id"]: r["n_tokens_removed"]
+        for r in dedup.cut_spans(
+            df, spans.filter(F.col("doc_id") != 0)
+        ).collect()
+    }
+    assert kept_first == {0: 0, 1: 6, 2: 0}
