@@ -375,8 +375,12 @@ def scaling_exec() -> None:
     cores = int(os.environ.get("BENCH_EXEC_CORES", "2"))
     mem_mb = int(os.environ.get("BENCH_EXEC_MEM_MB", "20480"))
     execs = (1, 4)
-    # one shuffle-partition count on every leg: same physical plans
-    shuffle = int(os.environ.get("BENCH_SHUFFLE", "16"))
+    # one shuffle-partition count on every leg: same physical plans.
+    # Default 32 = 4 tasks/core on the WIDE leg (round-5 measurement:
+    # 16 under-fed the 8-core leg by ~8-30%, and the wide leg's regime
+    # — cores-proportional task counts — is what projects to a real
+    # cluster; the 2-core leg pays ~6% for the finer tasks).
+    shuffle = int(os.environ.get("BENCH_SHUFFLE", "32"))
     repo = os.path.dirname(os.path.abspath(__file__))
     conf = {
         "spark.io.compression.codec": os.environ.get("BENCH_CODEC", "zstd"),
